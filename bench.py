@@ -1,0 +1,89 @@
+"""Benchmark: graph Laplace-learning op fwd+bwd steps/sec on TPU.
+
+Measures the full custom-vjp op (KNN graph build + Laplacian solve + implicit
+-diff backward) at the reference's default training shape — 1,500-node graph
+(250 base + 1,250 batch), k=25, 128-d features, 10 classes (SURVEY.md §6) —
+and compares against the scipy/SuperLU reference pipeline (the vendored
+oracle reproducing GLL.py:10-177) running on the host CPU, i.e. exactly what
+the reference executes per training step regardless of its GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu(x_np, y_np, gbar_np, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from graphlearninglayer_tpu.ops import laplace_learning
+
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+    gbar = jnp.asarray(gbar_np)
+
+    @jax.jit
+    def fwd_bwd(x):
+        def loss(x):
+            return jnp.sum(laplace_learning(x, y, tau=0.07, epsilon="auto",
+                                            k=25) * gbar)
+        return jax.value_and_grad(loss)(x)
+
+    # compile + warmup
+    val, grad = fwd_bwd(x)
+    jax.block_until_ready(grad)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        val, grad = fwd_bwd(x)
+    jax.block_until_ready(grad)
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
+def bench_reference(x_np, y_np, gbar_np, iters=3):
+    sys.path.insert(0, ".")
+    from tests.oracle import reference_op as ref
+
+    # warmup
+    pred, ctx = ref.forward(x_np, y_np, tau=0.07, epsilon="auto", k=25)
+    ref.backward(ctx, gbar_np)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred, ctx = ref.forward(x_np, y_np, tau=0.07, epsilon="auto", k=25)
+        ref.backward(ctx, gbar_np)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    n_base, n_batch, d, l = 250, 1250, 128, 10
+    n = n_base + n_batch
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)  # unit-norm features
+    labels = rng.integers(0, l, n_base)
+    y = np.zeros((n_base, l), np.float32)
+    y[np.arange(n_base), labels] = 1.0
+    gbar = rng.normal(size=(n_batch, l)).astype(np.float32)
+
+    dt_tpu = bench_tpu(x, y, gbar)
+    dt_ref = bench_reference(x.astype(np.float64), y.astype(np.float64),
+                             gbar.astype(np.float64))
+
+    steps_per_s = 1.0 / dt_tpu
+    vs_baseline = dt_ref / dt_tpu
+    print(json.dumps({
+        "metric": "gll_fwd_bwd_steps_per_s",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Dataset registry and raw-format loaders.
+
+Equivalent of the reference dataset registry (config/datasets_setting.py):
+MNIST / FashionMNIST / CIFAR-10 / CIFAR-100 / mini-imagenet, each with
+weak/strong/eval transforms and class counts.  Since the framework owns its
+IO (no torchvision), the standard distribution formats are read directly:
+IDX (MNIST-family) and python-pickle batches (CIFAR).  Data is searched in
+``$GLL_DATA_DIR`` then ``./data-local`` (the reference's layout).
+
+A deterministic ``synthetic`` dataset (class-dependent structured images) is
+provided for tests and benchmarks on machines without dataset files; it is
+learnable by the real models so end-to-end smoke runs exercise the full
+stack.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["DatasetSpec", "load_dataset", "DATASETS", "synthetic_dataset"]
+
+
+@dataclass
+class DatasetSpec:
+    name: str
+    train_images: np.ndarray  # uint8 NHWC
+    train_labels: np.ndarray  # int64 N
+    test_images: np.ndarray
+    test_labels: np.ndarray
+    num_classes: int
+
+    @property
+    def image_shape(self):
+        return self.train_images.shape[1:]
+
+
+def _data_roots():
+    roots = []
+    if os.environ.get("GLL_DATA_DIR"):
+        roots.append(os.environ["GLL_DATA_DIR"])
+    roots += ["data-local", "data", os.path.expanduser("~/data")]
+    return roots
+
+
+def _find(relpaths):
+    for root in _data_roots():
+        for rel in relpaths:
+            p = os.path.join(root, rel)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">HBB", f.read(4))
+        _, dtype_code, ndim = magic
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(dims)
+
+
+def _load_mnist_family(name: str) -> DatasetSpec | None:
+    files = {}
+    for split, img, lbl in (("train", "train-images-idx3-ubyte",
+                             "train-labels-idx1-ubyte"),
+                            ("test", "t10k-images-idx3-ubyte",
+                             "t10k-labels-idx1-ubyte")):
+        img_p = _find([f"{name}/{img}", f"{name}/{img}.gz",
+                       f"images/{name}/{img}", f"{name}/raw/{img}",
+                       f"{name}/raw/{img}.gz"])
+        lbl_p = _find([f"{name}/{lbl}", f"{name}/{lbl}.gz",
+                       f"images/{name}/{lbl}", f"{name}/raw/{lbl}",
+                       f"{name}/raw/{lbl}.gz"])
+        if img_p is None or lbl_p is None:
+            return None
+        files[split] = (img_p, lbl_p)
+    tri = _read_idx(files["train"][0])[..., None]
+    trl = _read_idx(files["train"][1]).astype(np.int64)
+    tei = _read_idx(files["test"][0])[..., None]
+    tel = _read_idx(files["test"][1]).astype(np.int64)
+    return DatasetSpec(name, tri, trl, tei, tel, 10)
+
+
+def _load_cifar(name: str) -> DatasetSpec | None:
+    if name == "cifar10":
+        subdir, train_files, test_files, label_key, n_cls = (
+            "cifar-10-batches-py",
+            [f"data_batch_{i}" for i in range(1, 6)], ["test_batch"],
+            b"labels", 10)
+    else:
+        subdir, train_files, test_files, label_key, n_cls = (
+            "cifar-100-python", ["train"], ["test"], b"fine_labels", 100)
+
+    def read(files):
+        imgs, labels = [], []
+        for fn in files:
+            p = _find([f"{subdir}/{fn}", f"cifar/{subdir}/{fn}",
+                       f"images/cifar/{subdir}/{fn}"])
+            if p is None:
+                return None, None
+            with open(p, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            imgs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            labels.append(np.asarray(d[label_key], np.int64))
+        return np.concatenate(imgs), np.concatenate(labels)
+
+    tri, trl = read(train_files)
+    if tri is None:
+        return None
+    tei, tel = read(test_files)
+    if tei is None:
+        return None
+    return DatasetSpec(name, tri, trl, tei, tel, n_cls)
+
+
+def synthetic_dataset(num_classes: int = 10, image_shape=(28, 28, 1),
+                      n_train: int = 4096, n_test: int = 1024,
+                      seed: int = 0) -> DatasetSpec:
+    """Learnable synthetic image classes: each class is a distinct smooth
+    spatial pattern (random low-frequency template) plus pixel noise."""
+    rng = np.random.default_rng(seed)
+    h, w, c = image_shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    templates = []
+    for _ in range(num_classes):
+        fx, fy = rng.uniform(0.5, 3.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        t = np.sin(2 * np.pi * fx * xx / w + px) * np.cos(
+            2 * np.pi * fy * yy / h + py)
+        templates.append(np.repeat(t[:, :, None], c, axis=2))
+    templates = np.stack(templates)  # (l, h, w, c)
+
+    def make(n, seed_off):
+        r = np.random.default_rng(seed + seed_off)
+        labels = r.integers(0, num_classes, n)
+        base = templates[labels]
+        noise = r.normal(0, 0.35, base.shape).astype(np.float32)
+        img = (base + noise + 1.5) / 3.0
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8), labels
+
+    tri, trl = make(n_train, 1)
+    tei, tel = make(n_test, 2)
+    return DatasetSpec("synthetic", tri, trl, tei, tel, num_classes)
+
+
+DATASETS = {
+    "mnist": lambda: _load_mnist_family("mnist"),
+    "fashion_mnist": lambda: _load_mnist_family("fashion_mnist"),
+    "fashionmnist": lambda: _load_mnist_family("fashion_mnist"),
+    "cifar10": lambda: _load_cifar("cifar10"),
+    "cifar100": lambda: _load_cifar("cifar100"),
+    "synthetic": synthetic_dataset,
+}
+
+
+def load_dataset(name: str, allow_synthetic_fallback: bool = False,
+                 **synth_kwargs) -> DatasetSpec:
+    """Load a dataset by name; optionally fall back to synthetic data with
+    the same geometry when the files are absent (offline machines)."""
+    if name == "synthetic":
+        return synthetic_dataset(**synth_kwargs)
+    loader = DATASETS.get(name)
+    if loader is None:
+        raise ValueError(f"unknown dataset {name!r}")
+    spec = loader()
+    if spec is not None:
+        return spec
+    if not allow_synthetic_fallback:
+        raise FileNotFoundError(
+            f"dataset {name!r} not found under $GLL_DATA_DIR / data-local; "
+            "pass allow_synthetic_fallback=True for a synthetic stand-in")
+    shape = (32, 32, 3) if name.startswith("cifar") else (28, 28, 1)
+    n_cls = 100 if name == "cifar100" else 10
+    spec = synthetic_dataset(n_cls, shape, **synth_kwargs)
+    spec.name = name
+    return spec

@@ -1,0 +1,152 @@
+"""Host data pipeline: batch iteration, base-set selection, score tracking.
+
+Equivalent of the reference's loader stack (utils.py:138-238, 282-502,
+751-816): shuffled epoch iteration with per-sample indices, a class-uniform
+base set served as one full batch, and ``ScoredDataset`` — the
+``DatasetWithScore`` analogue whose per-sample uncertainty scores (updated
+every step from the GLL predictions) drive periodic base-set refresh
+(``select_base_data`` modes 'random' | 'score', utils.py:768-812).
+
+Augmentation runs on host workers (numpy/PIL); batches are normalized
+float32 NHWC ready for device transfer.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+from .augment import Transform
+from .datasets import DatasetSpec
+
+__all__ = ["ScoredDataset", "BatchLoader", "select_base_indices",
+           "downsample_by_stride", "TwoCropBatchLoader"]
+
+
+def downsample_by_stride(images: np.ndarray, labels: np.ndarray,
+                         stepsize: int):
+    """Keep every ``stepsize``-th sample (reference DSCustomDataset,
+    utils.py:189-201; --ds_stepsize flag)."""
+    return images[::stepsize], labels[::stepsize]
+
+
+def select_base_indices(labels: np.ndarray, num_samples: int,
+                        num_classes: int, mode: str = "random",
+                        scores: np.ndarray | None = None,
+                        rng: np.random.Generator | None = None) -> np.ndarray:
+    """Class-uniform base-set selection (utils.py:768-797).
+
+    'random': per-class random draw of num_samples // num_classes.
+    'score' : per-class top-scored (most uncertain) samples.
+    """
+    rng = rng or np.random.default_rng()
+    per_class = num_samples // num_classes
+    chosen = []
+    for c in range(num_classes):
+        idx = np.flatnonzero(labels == c)
+        if mode == "random":
+            chosen.append(rng.permutation(idx)[:per_class])
+        elif mode == "score":
+            if scores is None:
+                raise ValueError("score mode requires scores")
+            order = np.argsort(-scores[idx], kind="stable")
+            chosen.append(idx[order[:per_class]])
+        else:
+            raise ValueError(mode)
+    return np.concatenate(chosen)
+
+
+class ScoredDataset:
+    """Train-set wrapper with per-sample uncertainty scores
+    (DatasetWithScore, utils.py:751-816)."""
+
+    def __init__(self, spec: DatasetSpec, images: np.ndarray | None = None,
+                 labels: np.ndarray | None = None):
+        self.spec = spec
+        self.images = spec.train_images if images is None else images
+        self.labels = spec.train_labels if labels is None else labels
+        self.scores = np.zeros(len(self.labels), np.float32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def update_scores(self, indices: np.ndarray, scores: np.ndarray):
+        self.scores[indices] = scores
+
+    def select_base(self, num_samples: int, mode: str = "random",
+                    rng: np.random.Generator | None = None):
+        idx = select_base_indices(self.labels, num_samples,
+                                  self.spec.num_classes, mode, self.scores,
+                                  rng)
+        return self.images[idx], self.labels[idx]
+
+
+class BatchLoader:
+    """Shuffled epoch iterator yielding (indices, images, labels) with
+    host-side augmentation and normalization.
+
+    Drop-last batching with static batch size (TPU-friendly: one compiled
+    step shape).  Augmentation is parallelized over a thread pool (PIL
+    releases the GIL for most ops).
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, transform: Transform,
+                 shuffle: bool = True, seed: int = 0, workers: int = 8):
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.pool = ThreadPoolExecutor(workers) if workers > 0 else None
+
+    def __len__(self):
+        return len(self.labels) // self.batch_size
+
+    def _augment_batch(self, batch: np.ndarray) -> np.ndarray:
+        if self.transform.mode == "eval":
+            return self.transform.normalize(batch)
+        seeds = self.rng.integers(0, 2 ** 31, len(batch))
+
+        def one(args):
+            img, s = args
+            return self.transform(img, np.random.default_rng(s))
+
+        if self.pool is not None:
+            out = list(self.pool.map(one, zip(batch, seeds)))
+        else:
+            out = [one(a) for a in zip(batch, seeds)]
+        return self.transform.normalize(np.stack(out))
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        order = (self.rng.permutation(len(self.labels)) if self.shuffle
+                 else np.arange(len(self.labels)))
+        for i in range(len(self)):
+            idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+            yield idx, self._augment_batch(self.images[idx]), self.labels[idx]
+
+    def full_batch(self, images: np.ndarray, labels: np.ndarray):
+        """Augment+normalize an explicit set (the base batch is re-augmented
+        each step like the reference's base_loader draw, FullySup.py:135)."""
+        return self._augment_batch(images), labels
+
+
+class TwoCropBatchLoader(BatchLoader):
+    """Yields n_views independently augmented copies of each batch
+    (reference TwoCropTransform / NCropTransform, utils.py:27-45) for
+    contrastive (SupCon/SimCLR) training."""
+
+    def __init__(self, *args, n_views: int = 2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_views = n_views
+
+    def __iter__(self):
+        order = (self.rng.permutation(len(self.labels)) if self.shuffle
+                 else np.arange(len(self.labels)))
+        for i in range(len(self)):
+            idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+            views = np.stack([self._augment_batch(self.images[idx])
+                              for _ in range(self.n_views)], axis=1)
+            yield idx, views, self.labels[idx]

@@ -1,0 +1,93 @@
+"""CIFAR-style ResNet encoders (flax.linen).
+
+TPU-native equivalents of the reference backbones (networks/resnet.py:11-123):
+3x3 stem (no maxpool), four stages, global average pool, returning pooled
+feature vectors (512-d for BasicBlock nets, 2048-d for Bottleneck nets).
+NHWC layout (TPU-preferred); BatchNorm with momentum 0.9 / eps 1e-5 matching
+torch defaults.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5)
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False)(x)
+        out = nn.relu(norm()(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False)(out)
+        out = norm()(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            x = nn.Conv(self.planes * self.expansion, (1, 1),
+                        strides=self.stride, use_bias=False)(x)
+            x = norm()(x)
+        return nn.relu(out + x)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5)
+        out = nn.relu(norm()(nn.Conv(self.planes, (1, 1), use_bias=False)(x)))
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False)(out)
+        out = nn.relu(norm()(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False)(out)
+        out = norm()(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
+            x = nn.Conv(self.planes * self.expansion, (1, 1),
+                        strides=self.stride, use_bias=False)(x)
+            x = norm()(x)
+        return nn.relu(out + x)
+
+
+class ResNet(nn.Module):
+    """Returns pooled features of dim 512*expansion; input NHWC."""
+
+    block: type
+    stage_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = nn.Conv(64, (3, 3), padding=1, use_bias=False)(x)
+        out = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5)(out))
+        for stage, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.stage_sizes)):
+            for i in range(blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                out = self.block(planes, stride)(out, train)
+        out = jnp.mean(out, axis=(1, 2))
+        return out
+
+
+def resnet18():
+    return ResNet(BasicBlock, (2, 2, 2, 2))
+
+
+def resnet34():
+    return ResNet(BasicBlock, (3, 4, 6, 3))
+
+
+def resnet50():
+    return ResNet(Bottleneck, (3, 4, 6, 3))
+
+
+def resnet101():
+    return ResNet(Bottleneck, (3, 4, 23, 3))

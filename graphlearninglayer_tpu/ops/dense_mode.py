@@ -1,0 +1,137 @@
+"""Dense-mode graph Laplace learning — the MXU-native fast path.
+
+For per-batch graphs (n up to a few thousand: the training op, the PGD/CW
+attack inner loops) the TPU-optimal formulation is *dense*: an n x n matrix
+is small (9 MB at n=1500), while gather/scatter over the edge list costs
+millions of random-access element ops that TPUs execute serially.  This
+module reformulates the whole op as elementwise n x n math + MXU matmuls:
+
+  * union symmetrization = elementwise max of the directed KNN mask with its
+    transpose (no reciprocal-edge bookkeeping at all);
+  * the backward's edge product matrix
+        G_ij = sum_c (w_c[i]-w_c[j])(F_c[j]-F_c[i])
+    expands to  W_f + W_f^T - wf 1^T - 1 wf^T  with W_f = w @ F^T (one
+    matmul) and wf_i = <w_i, F_i> (a row dot);
+  * Lap(A) X = deg_A * X - A @ X — matmuls;
+  * the auto-eps vector b is a masked elementwise product + row sum.
+
+The only remaining non-matmul ops are the KNN top-k (needed for eps and the
+k-th-neighbor selector) and two (n,) / (n, k)-sized scatters.  Numerics are
+identical to the edge-list path (ops/graph.py) — cross-checked in tests.
+
+Semantics follow reference GLL.py:10-244 exactly (see ops/laplace.py
+docstring for the mapping).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .knn import knn, pairwise_dist2
+
+__all__ = ["DenseGraph", "build_dense_graph", "dense_affinity",
+           "dense_forward", "dense_backward"]
+
+
+class DenseGraph(NamedTuple):
+    """Dense symmetrized KNN graph over n nodes.
+
+    mask:  (n, n) {0,1} float — union-of-directed-KNN edges, self and
+           zero-distance entries dropped (reference GLL.py:196-198).
+    d2:    (n, n) float — full squared-distance matrix.
+    eps:   (n,) float — per-node bandwidth (k-th NN distance in auto mode).
+    nbr:   (n, k) int32 — KNN lists (kept for the auto-eps selector).
+    auto:  static bool — self-tuning bandwidth mode.
+    """
+
+    mask: jax.Array
+    d2: jax.Array
+    eps: jax.Array
+    nbr: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.mask.shape[0]
+
+    @property
+    def kth(self) -> jax.Array:
+        return self.nbr[:, -1]
+
+
+def build_dense_graph(x: jax.Array, k: int, epsilon="auto") -> DenseGraph:
+    n = x.shape[0]
+    d2 = pairwise_dist2(x, x)
+    nbr, dist2 = knn(x, k)
+
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    m = jnp.zeros((n, n), dtype=x.dtype).at[rows, nbr.reshape(-1)].set(1.0)
+    mask = jnp.maximum(m, m.T)
+    off_diag = 1.0 - jnp.eye(n, dtype=x.dtype)
+    mask = mask * off_diag * (d2 > 0.0)
+
+    if isinstance(epsilon, str):
+        if epsilon != "auto":
+            raise ValueError(f"epsilon must be 'auto' or a float, got {epsilon!r}")
+        # floored like the edge path (see ops/graph.py) to keep the op total
+        # on degenerate (collapsed-feature) inputs
+        eps = jnp.maximum(jnp.sqrt(dist2[:, -1]), 1e-6)
+    else:
+        eps = jnp.full((n,), float(epsilon), dtype=x.dtype)
+    return DenseGraph(mask=mask, d2=d2, eps=eps, nbr=nbr)
+
+
+def dense_affinity(g: DenseGraph) -> tuple[jax.Array, jax.Array]:
+    """W and V as dense masked matrices (reference GLL.py:216-217)."""
+    inv = 1.0 / (g.eps[:, None] * g.eps[None, :])
+    w = jnp.exp(-4.0 * g.d2 * inv) * g.mask
+    v = -8.0 * w * inv
+    return w, v
+
+
+def dense_forward(g: DenseGraph, y: jax.Array, tau: float):
+    """Solve (Luu + tau I) P = W_ul Y with one Cholesky; returns
+    (pred, (w, deg, chol))."""
+    import jax.scipy.linalg as jsl
+
+    k_lab = y.shape[0]
+    w, _ = dense_affinity(g)
+    deg = jnp.sum(w, axis=1)
+    luu = (jnp.diag(deg[k_lab:] + jnp.asarray(tau, w.dtype))
+           - w[k_lab:, k_lab:])
+    rhs = w[k_lab:, :k_lab] @ y
+    chol = jsl.cholesky(luu, lower=True)
+    pred = jsl.cho_solve((chol, True), rhs)
+    return pred, (w, deg, chol)
+
+
+def dense_backward(g: DenseGraph, y, pred, x, chol, gbar, auto_eps: bool):
+    """Implicit-diff input gradient, all-matmul formulation."""
+    import jax.scipy.linalg as jsl
+
+    k_lab = y.shape[0]
+    wu = jsl.cho_solve((chol, True), gbar)
+    wfull = jnp.concatenate([jnp.zeros((k_lab, wu.shape[1]), wu.dtype), wu])
+    f = jnp.concatenate([y.astype(pred.dtype), pred], axis=0)
+
+    # G = W_f + W_f^T - wf 1^T - 1 wf^T on the edge mask
+    wf_cross = jax.lax.dot_general(wfull, f, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=wfull.dtype)
+    wf_self = jnp.sum(wfull * f, axis=1)
+    g_mat = (wf_cross + wf_cross.T - wf_self[:, None] - wf_self[None, :])
+
+    _, v = dense_affinity(g)
+    a = g_mat * v  # v is zero off-edge -> masking is automatic
+    # Lap(A) X = deg_A * X - A @ X
+    deg_a = jnp.sum(a, axis=1)
+    gx = deg_a[:, None] * x - a @ x
+
+    if auto_eps:
+        # b_i = sum_j G_ij d2_ij V_ij / (2 eps_i^2)  (reference GLL.py:124-127)
+        b = jnp.sum(g_mat * g.d2 * v, axis=1) / (2.0 * g.eps * g.eps)
+        kth = g.kth
+        xd = x[kth] - x
+        gx = gx + b[:, None] * xd
+        gx = gx.at[kth].add(-b[:, None] * xd)
+    return gx

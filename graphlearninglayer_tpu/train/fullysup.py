@@ -1,0 +1,242 @@
+"""Fully-supervised training driver (GL or MLP head).
+
+Equivalent of reference FullySup.py:22-365: loaders -> model -> optional
+MLP-head pretrain -> epoch loop (GL or MLP branch) with per-step score
+updates, periodic base-set refresh (random/score), transductive + per-batch
+eval, checkpointing, loss/accuracy record plots, and a FileLogger stdout
+tee.  The compute path is one jitted device step; the host loop only moves
+data and bookkeeping.
+
+Run:  python -m graphlearninglayer_tpu.train.fullysup --sup_train_type gl \
+          --dataset cifar10 --cosine [--epsilon auto ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.cli import parse_option
+from ..data import BatchLoader, ScoredDataset, Transform, load_dataset
+from ..evalx import test_gl_transductive, test_network
+from ..models import BuildNet
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.meters import AverageMeter, FileLogger, Throughput
+from .optim import make_lr_schedule, make_optimizer
+from .trainer import (create_train_state, make_gl_train_step,
+                      make_mlp_train_step)
+
+__all__ = ["main", "run_training", "pretrain_linear"]
+
+
+def pretrain_linear(model, state, loader, opt, num_classes: int):
+    """MLP-classifier-head pretraining with the rest of the network frozen
+    and BN in inference mode (reference ``pretrain_linear``,
+    FullySup.py:22-112).  Updates only the ``linear_*`` aux-classifier
+    parameters for ``opt.sup_epochs`` epochs at lr * pretrain_lr_multiply."""
+    import optax
+
+    from .losses import custom_ce_loss as _ce
+
+    if opt.sup_epochs <= 0:
+        return state
+
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(k, "key", "") in ("linear_0", "linear_1")
+                            for k in path), state.params)
+    tx = optax.masked(
+        optax.sgd(opt.learning_rate * opt.pretrain_lr_multiply,
+                  momentum=opt.momentum), mask)
+    opt_state = tx.init(state.params)
+
+    @jax.jit
+    def step(params, opt_state, batch_stats, images, labels):
+        def loss_fn(p):
+            # BN in eval mode: batch statistics frozen (FullySup.py:52-57)
+            out = model.apply({"params": p, "batch_stats": batch_stats}
+                              if batch_stats else {"params": p},
+                              images, train=False)
+            pred, _ = out
+            return _ce(pred, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = state.params
+    for epoch in range(1, opt.sup_epochs + 1):
+        losses = []
+        for _, images, labels in loader:
+            params, opt_state, loss = step(params, opt_state,
+                                           state.batch_stats,
+                                           jnp.asarray(images),
+                                           jnp.asarray(labels))
+            losses.append(float(loss))
+        print(f"pretrain epoch {epoch}: loss {np.mean(losses):.4f}")
+    return state._replace(params=params)
+
+
+def _records_and_plots(save_folder, records):
+    """loss/acc history + PNG plots (FullySup.py:306-328)."""
+    np.save(os.path.join(save_folder, "loss_acc_records.npy"), records,
+            allow_pickle=True)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        for key in ("loss", "train_acc", "test_acc"):
+            if not records.get(key):
+                continue
+            plt.figure()
+            plt.plot(records[key])
+            plt.xlabel("epoch")
+            plt.ylabel(key)
+            plt.savefig(os.path.join(save_folder, f"{key}.png"))
+            plt.close()
+    except Exception as e:  # plotting is best-effort observability
+        print(f"plotting skipped: {e}")
+
+
+def run_training(opt) -> dict:
+    rng_np = np.random.default_rng(opt.seed)
+    spec = load_dataset(opt.dataset, allow_synthetic_fallback=True)
+    num_classes = spec.num_classes
+
+    sup_tf = Transform(spec.name if spec.name in
+                       ("mnist", "fashion_mnist", "cifar10", "cifar100",
+                        "synthetic") else "synthetic",
+                       "eval" if opt.augment_type_sup == "no"
+                       else opt.augment_type_sup)
+    eval_tf = Transform(sup_tf.dataset, "eval")
+
+    ds = ScoredDataset(spec)
+    loader = BatchLoader(spec.train_images, spec.train_labels,
+                         opt.batch_size, sup_tf, seed=opt.seed,
+                         workers=opt.num_workers)
+    if len(loader) == 0:
+        raise ValueError(
+            f"batch_size {opt.batch_size} exceeds train set {len(ds)}")
+
+    model = BuildNet(name=opt.model, head=opt.head_type,
+                     feat_dim=opt.embedding_dim, num_classes=num_classes,
+                     softmax=not opt.no_softmax)
+    schedule = make_lr_schedule(
+        opt.learning_rate, opt.epochs, len(loader), cosine=opt.cosine,
+        lr_decay_rate=opt.lr_decay_rate, lr_decay_epochs=opt.lr_decay_epochs,
+        warm=opt.warm, warm_epochs=getattr(opt, "warm_epochs", 10),
+        warmup_from=getattr(opt, "warmup_from", 1e-2),
+        warmup_to=getattr(opt, "warmup_to", None))
+    tx = make_optimizer(schedule, adam=opt.Adam, momentum=opt.momentum,
+                        weight_decay=opt.weight_decay)
+    sample = jnp.zeros((1, *spec.image_shape), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(opt.seed),
+                               sample)
+    start_epoch = 0
+    if opt.cp_load_path != "no":
+        state, start_epoch = restore_checkpoint(opt.cp_load_path, state)
+        print(f"Successfully loaded checkpoint from {opt.cp_load_path} "
+              f"(epoch {start_epoch})")
+
+    # NOTE the tau convention: FullySup passes --temp as tau to the GL op
+    # (reference FullySup.py:156) while the transductive eval uses --tau
+    # (utils.py:651).
+    # optional MLP-head pretraining (FullySup.py:224-249)
+    if opt.sup_epochs > 0:
+        state = pretrain_linear(model, state, loader, opt, num_classes)
+
+    gl_step = make_gl_train_step(model, tx, num_classes, tau=opt.temp,
+                                 epsilon=opt.epsilon, k=opt.knn_k,
+                                 solver=opt.gl_solver,
+                                 score_type=opt.gl_score_type)
+    mlp_step = make_mlp_train_step(model, tx)
+
+    base_imgs, base_labels = ds.select_base(opt.num_train, "random", rng_np)
+    records = {"loss": [], "train_acc": [], "test_acc": []}
+
+    edges_per_step = 2 * (opt.num_train + opt.batch_size) * opt.knn_k
+
+    def evaluate():
+        return test_gl_transductive(
+            model, state, base_imgs, base_labels, spec.test_images,
+            spec.test_labels, eval_tf.normalize, num_classes,
+            train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
+            tau=opt.tau)
+
+    # epoch-0 eval (FullySup.py:255)
+    records["test_acc"].append(evaluate())
+
+    for epoch in range(start_epoch + 1, opt.epochs + 1):
+        t_epoch = time.time()
+        losses, accs = AverageMeter(), AverageMeter()
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        tput = Throughput(edges_per_step)
+        end = time.time()
+        for idx, (indices, images, labels) in enumerate(loader):
+            data_time.update(time.time() - end)
+            base_x, base_y = loader.full_batch(base_imgs, base_labels)
+            if opt.sup_train_type == "gl":
+                state, metrics, scores = gl_step(
+                    state, jnp.asarray(base_x), jnp.asarray(base_y),
+                    jnp.asarray(images), jnp.asarray(labels),
+                    jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+                if (epoch % opt.gl_update_base_epochs == 0
+                        and opt.gl_update_base_mode == "score"):
+                    ds.update_scores(indices, np.asarray(scores))
+            else:
+                state, metrics = mlp_step(
+                    state, jnp.asarray(images), jnp.asarray(labels),
+                    jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+            losses.update(float(metrics["loss"]), len(labels))
+            accs.update(float(metrics["acc"]), len(labels))
+            tput.step()
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (idx + 1) % opt.print_freq_ss == 0:
+                print(f"Train: [{epoch}][{idx + 1}/{len(loader)}]\t"
+                      f"BT {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                      f"DT {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                      f"loss {losses.val:.3f} ({losses.avg:.3f})\t"
+                      f"edges/s {tput.edges_per_s:.3e}")
+                sys.stdout.flush()
+
+        records["loss"].append(losses.avg)
+        records["train_acc"].append(accs.avg)
+        print(f"epoch {epoch}, total time {time.time() - t_epoch:.2f}, "
+              f"loss {losses.avg:.4f}, train acc {accs.avg:.4f}")
+
+        # base refresh (FullySup.py:277-283)
+        if (opt.sup_train_type == "gl"
+                and epoch % opt.gl_update_base_epochs == 0):
+            base_imgs, base_labels = ds.select_base(
+                opt.num_train, opt.gl_update_base_mode, rng_np)
+
+        if epoch % opt.plot_freq_ss == 0 or epoch == opt.epochs:
+            records["test_acc"].append(evaluate())
+            save_checkpoint(os.path.join(opt.save_folder, "ckpt"), state,
+                            epoch)
+            _records_and_plots(opt.save_folder, records)
+
+    save_checkpoint(os.path.join(opt.save_folder, "last"), state, opt.epochs)
+    _records_and_plots(opt.save_folder, records)
+    return records
+
+
+def main(argv=None):
+    opt = parse_option(argv)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    logger = FileLogger(os.path.join(opt.save_folder,
+                                     f"output_record_{stamp}.txt"))
+    sys.stdout = logger
+    try:
+        return run_training(opt)
+    finally:
+        sys.stdout = logger.terminal
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Jitted train/eval steps for GLL and MLP heads.
+
+TPU-native equivalent of the reference per-batch training logic
+(FullySup.py:115-202): one fused, jit-compiled step that runs the CNN
+forward, the graph Laplace-learning head, the loss, the hand-derived
+backward, and the optimizer update entirely on device.  The reference
+crosses the host boundary four times per step (GLL.py:27,73,90,157); here
+nothing leaves HBM.
+
+Also computes the per-sample uncertainty scores used by score-driven
+base-set refresh (FullySup.py:165-175) inside the same step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import laplace_learning
+from .losses import custom_ce_loss
+
+__all__ = ["TrainState", "create_train_state", "make_gl_train_step",
+           "make_mlp_train_step", "make_gl_eval_step", "make_encode_step"]
+
+
+class TrainState(NamedTuple):
+    """Parameters + BN statistics + optimizer state + step counter."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(model, tx: optax.GradientTransformation, rng,
+                       sample_input) -> TrainState:
+    variables = model.init({"params": rng, "dropout": rng}, sample_input,
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _apply(model, params, batch_stats, x, train: bool, rng=None):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    rngs = {"dropout": rng} if rng is not None else None
+    if train and batch_stats:
+        out, updates = model.apply(variables, x, train=True, rngs=rngs,
+                                   mutable=["batch_stats"])
+        return out, updates["batch_stats"]
+    out = model.apply(variables, x, train=train, rngs=rngs)
+    return out, batch_stats
+
+
+def _scores(pred, labels, score_type: str):
+    """Per-sample uncertainty scores for base-set selection
+    (FullySup.py:165-172): 'entropy' = per-sample CE, 'l2' = 1 - ||p||^2."""
+    if score_type == "entropy":
+        onehot = jax.nn.one_hot(labels, pred.shape[1], dtype=pred.dtype)
+        return -jnp.sum(onehot * jnp.log(pred + 1e-8), axis=1)
+    if score_type == "l2":
+        return 1.0 - jnp.sum(pred ** 2, axis=1)
+    raise ValueError(score_type)
+
+
+def make_gl_train_step(model, tx: optax.GradientTransformation,
+                       num_classes: int, tau: float, epsilon="auto",
+                       k: int = 25, solver: str = "cholesky",
+                       score_type: str = "entropy") -> Callable:
+    """GL-branch step (FullySup.py:152-157): stack base on top of the batch,
+    encode, run the graph head with base labels, CE on batch labels."""
+
+    @jax.jit
+    def step(state: TrainState, base_images, base_labels, images, labels, rng):
+        x = jnp.concatenate([base_images, images], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+
+        def loss_fn(params):
+            (_, features), new_stats = _apply(model, params,
+                                              state.batch_stats, x,
+                                              train=True, rng=rng)
+            pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
+                                    k=k, solver=solver)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        scores = _scores(pred, labels, score_type)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}, scores
+
+    return step
+
+
+def make_mlp_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """MLP-branch step (FullySup.py:158-160): classifier head + custom CE on
+    its probability outputs."""
+
+    @jax.jit
+    def step(state: TrainState, images, labels, rng):
+        def loss_fn(params):
+            (pred, _), new_stats = _apply(model, params, state.batch_stats,
+                                          images, train=True, rng=rng)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_gl_eval_step(model, num_classes: int, tau: float, epsilon="auto",
+                      k: int = 25, solver: str = "cholesky") -> Callable:
+    """test_network equivalent (utils.py:596-634): classify a test batch by
+    running the network + graph head against one base batch."""
+
+    @jax.jit
+    def step(state: TrainState, base_images, base_labels, images):
+        x = jnp.concatenate([base_images, images], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+        (_, features), _ = _apply(model, state.params, state.batch_stats, x,
+                                  train=False)
+        pred = laplace_learning(features, y, tau=tau, epsilon=epsilon, k=k,
+                                solver=solver)
+        return jnp.argmax(pred, axis=1)
+
+    return step
+
+
+def make_encode_step(model) -> Callable:
+    """Feature-extraction step (loader_to_numpy equivalent, utils.py:241-267)."""
+
+    @jax.jit
+    def step(state: TrainState, images):
+        (_, features), _ = _apply(model, state.params, state.batch_stats,
+                                  images, train=False)
+        return features
+
+    return step

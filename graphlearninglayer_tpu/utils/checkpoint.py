@@ -1,0 +1,69 @@
+"""Orbax checkpointing with tolerant restore.
+
+Equivalent of reference save_model / set_model load (utils.py:126-134,
+505-553): saves {params, batch_stats, opt_state, step, epoch, opt-dict} and
+restores tolerantly — missing keys keep their initialized values (the
+reference's strict=False fallback), extra keys are ignored.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _ckpt(path: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(os.path.abspath(path))
+
+
+def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
+    """Write state at ``epoch`` under ``path`` (a directory)."""
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if extra:
+        payload["extra"] = extra
+    with _ckpt(path) as mgr:
+        mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+
+
+def latest_step(path: str) -> int | None:
+    if not os.path.isdir(path):
+        return None
+    with _ckpt(path) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(path: str, state, epoch: int | None = None):
+    """Tolerant restore into ``state``; returns (state, restored_epoch).
+
+    Missing subtrees in the checkpoint keep the values already in ``state``
+    (mirrors the reference's `.module`-strip + strict=False fallback,
+    utils.py:523-540).
+    """
+    with _ckpt(path) as mgr:
+        step = epoch if epoch is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    new_state = state._replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return new_state, step

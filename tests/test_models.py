@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphlearninglayer_tpu.models import (BuildNet, CifarCNN, CustomCNN,
+                                           SmallCNN, SmallCNNGL,
+                                           preact_resnet18, resnet18,
+                                           wrn_28_2)
+
+
+def _init_apply(model, shape, train=False):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out = model.apply(variables, x, train=train,
+                      rngs={"dropout": rng},
+                      mutable=["batch_stats"] if train else False)
+    return out[0] if train else out
+
+
+def test_custom_cnn_shapes():
+    pred, feat = _init_apply(CustomCNN(), (4, 28, 28, 1))
+    assert pred.shape == (4, 10) and feat.shape == (4, 128)
+    np.testing.assert_allclose(np.asarray(pred).sum(1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feat), axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_resnet18_feature_dim():
+    feat = _init_apply(resnet18(), (2, 32, 32, 3))
+    assert feat.shape == (2, 512)
+
+
+def test_wrn_28_2_feature_dim():
+    feat = _init_apply(wrn_28_2(), (2, 32, 32, 3))
+    assert feat.shape == (2, 128)
+
+
+def test_cifarcnn_feature_dim():
+    feat = _init_apply(CifarCNN(), (2, 32, 32, 3))
+    assert feat.shape == (2, 128)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(feat), axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_preact_resnet18():
+    pred, feat = _init_apply(preact_resnet18(), (2, 32, 32, 3))
+    assert pred.shape == (2, 10) and feat.shape == (2, 128)
+    # log-softmax rows (float32 model arithmetic => loose tolerance)
+    np.testing.assert_allclose(np.exp(np.asarray(pred)).sum(1), 1.0, atol=1e-4)
+
+
+def test_smallcnn_pair():
+    logp = _init_apply(SmallCNN(), (2, 28, 28, 1))
+    assert logp.shape == (2, 10)
+    feat = _init_apply(SmallCNNGL(), (2, 28, 28, 1))
+    assert feat.shape == (2, 200)
+
+
+@pytest.mark.parametrize("head", ["linear", "mlp", "no"])
+def test_buildnet_heads(head):
+    model = BuildNet(name="wrn-28-2", head=head, feat_dim=64, num_classes=10)
+    pred, feat = _init_apply(model, (2, 32, 32, 3))
+    assert pred.shape == (2, 10)
+    expected = 128 if head == "no" else 64
+    assert feat.shape == (2, expected)
+    np.testing.assert_allclose(np.asarray(pred).sum(1), 1.0, atol=1e-5)
+
+
+def test_buildnet_batchstats_update():
+    model = BuildNet(name="wrn-28-2", head="linear", feat_dim=32)
+    (pred, feat) = _init_apply(model, (2, 32, 32, 3), train=True)
+    assert pred.shape == (2, 10)
