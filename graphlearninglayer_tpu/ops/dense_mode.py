@@ -63,7 +63,7 @@ class DenseGraph(NamedTuple):
 def build_dense_graph(x: jax.Array, k: int, epsilon="auto") -> DenseGraph:
     n = x.shape[0]
     d2 = pairwise_dist2(x, x)
-    nbr, dist2 = knn(x, k)
+    nbr, dist2 = knn(x, k, d2=d2)
 
     rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     m = jnp.zeros((n, n), dtype=x.dtype).at[rows, nbr.reshape(-1)].set(1.0)
@@ -82,21 +82,45 @@ def build_dense_graph(x: jax.Array, k: int, epsilon="auto") -> DenseGraph:
     return DenseGraph(mask=mask, d2=d2, eps=eps, nbr=nbr)
 
 
-def dense_affinity(g: DenseGraph) -> tuple[jax.Array, jax.Array]:
-    """W and V as dense masked matrices (reference GLL.py:216-217)."""
+def _pallas_enabled(use_pallas: str) -> bool:
+    """'on'/'off'/'auto' — auto enables the Pallas kernels on TPU backends
+    only (the interpreter fallback on CPU is slower than plain XLA)."""
+    if use_pallas == "on":
+        return True
+    if use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def dense_affinity(g: DenseGraph, x: jax.Array | None = None,
+                   use_pallas: str = "off") -> tuple[jax.Array, jax.Array]:
+    """W and V as dense masked matrices (reference GLL.py:216-217).
+
+    With ``use_pallas`` enabled (and ``x`` provided) W comes from the fused
+    Pallas distance+affinity kernel (ops/kernels/affinity.py) — one kernel
+    instead of the multi-pass XLA formulation; V is one elementwise op on W.
+    """
     inv = 1.0 / (g.eps[:, None] * g.eps[None, :])
-    w = jnp.exp(-4.0 * g.d2 * inv) * g.mask
+    if x is not None and _pallas_enabled(use_pallas):
+        from .kernels.affinity import fused_affinity
+
+        w = fused_affinity(x.astype(jnp.float32),
+                           g.eps.astype(jnp.float32),
+                           g.mask.astype(jnp.float32)).astype(x.dtype)
+    else:
+        w = jnp.exp(-4.0 * g.d2 * inv) * g.mask
     v = -8.0 * w * inv
     return w, v
 
 
-def dense_forward(g: DenseGraph, y: jax.Array, tau: float):
+def dense_forward(g: DenseGraph, y: jax.Array, tau: float,
+                  x: jax.Array | None = None, use_pallas: str = "off"):
     """Solve (Luu + tau I) P = W_ul Y with one Cholesky; returns
     (pred, (w, deg, chol))."""
     import jax.scipy.linalg as jsl
 
     k_lab = y.shape[0]
-    w, _ = dense_affinity(g)
+    w, _ = dense_affinity(g, x, use_pallas)
     deg = jnp.sum(w, axis=1)
     luu = (jnp.diag(deg[k_lab:] + jnp.asarray(tau, w.dtype))
            - w[k_lab:, k_lab:])
@@ -106,8 +130,10 @@ def dense_forward(g: DenseGraph, y: jax.Array, tau: float):
     return pred, (w, deg, chol)
 
 
-def dense_backward(g: DenseGraph, y, pred, x, chol, gbar, auto_eps: bool):
-    """Implicit-diff input gradient, all-matmul formulation."""
+def dense_backward(g: DenseGraph, y, pred, x, chol, gbar, auto_eps: bool,
+                   w: jax.Array | None = None, use_pallas: str = "off"):
+    """Implicit-diff input gradient, all-matmul formulation.  Pass the
+    forward's affinity ``w`` to reuse it (V is one elementwise op on W)."""
     import jax.scipy.linalg as jsl
 
     k_lab = y.shape[0]
@@ -121,7 +147,11 @@ def dense_backward(g: DenseGraph, y, pred, x, chol, gbar, auto_eps: bool):
     wf_self = jnp.sum(wfull * f, axis=1)
     g_mat = (wf_cross + wf_cross.T - wf_self[:, None] - wf_self[None, :])
 
-    _, v = dense_affinity(g)
+    if w is not None:
+        inv = 1.0 / (g.eps[:, None] * g.eps[None, :])
+        v = -8.0 * w * inv
+    else:
+        _, v = dense_affinity(g, x, use_pallas)
     a = g_mat * v  # v is zero off-edge -> masking is automatic
     # Lap(A) X = deg_A * X - A @ X
     deg_a = jnp.sum(a, axis=1)

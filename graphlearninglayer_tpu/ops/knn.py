@@ -38,19 +38,33 @@ def pairwise_dist2(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.maximum(d2, 0.0)
 
 
-def knn(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def knn(x: jax.Array, k: int, d2: jax.Array | None = None,
+        method: str = "approx") -> tuple[jax.Array, jax.Array]:
     """Exact KNN over all rows of ``x``; self included as neighbor 0.
 
     Returns ``(nbr, dist2)`` with shapes (n, k): ``nbr[i, 0] == i`` and the
     remaining columns are the k-1 nearest other points in ascending distance
     order.  ``dist2`` holds squared distances (``dist2[:, 0] == 0``).
+
+    ``d2``: optionally pass a precomputed (n, n) squared-distance matrix to
+    avoid recomputing it (the dense op path reuses one).
+
+    ``method``: 'approx' (default) selects via ``lax.approx_min_k`` with
+    ``recall_target=1.0`` — on TPU this lowers to the hardware PartialReduce
+    path and is several times faster than the sort-based TopK while still
+    returning the exact k minima; 'sort' forces ``lax.top_k``.
     """
     n = x.shape[0]
-    d2 = pairwise_dist2(x, x)
+    if d2 is None:
+        d2 = pairwise_dist2(x, x)
     # Pin self strictly first regardless of float noise or coincident points.
     d2 = jnp.where(jnp.eye(n, dtype=bool), -1.0, d2)
-    neg_top, idx = jax.lax.top_k(-d2, k)
-    return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+    if method == "approx":
+        dist, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
+    else:
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        dist = -neg_top
+    return idx.astype(jnp.int32), jnp.maximum(dist, 0.0)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -77,8 +91,8 @@ def knn_tiled(x: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.A
         d2 = jnp.maximum(qq[:, None] + xx_all[None, :] - 2.0 * cross, 0.0)
         is_self = rows[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
         d2 = jnp.where(is_self, -1.0, d2)
-        neg_top, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+        dist, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
+        return idx.astype(jnp.int32), jnp.maximum(dist, 0.0)
 
     idx, dist2 = jax.lax.map(one_block, (xq.reshape(nblocks, block, d), row_ids))
     idx = idx.reshape(-1, k)[:n]

@@ -80,6 +80,7 @@ class LaplaceConfig(NamedTuple):
     cg_tol: float = 1e-10
     cg_max_iter: int = 100_000
     mode: str = "dense"
+    use_pallas: str = "auto"  # 'auto' = Pallas kernels on TPU backends only
 
     @property
     def auto_eps(self) -> bool:
@@ -87,7 +88,8 @@ class LaplaceConfig(NamedTuple):
 
 
 def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
-                     cg_tol=1e-10, cg_max_iter=100_000, mode="auto"):
+                     cg_tol=1e-10, cg_max_iter=100_000, mode="auto",
+                     use_pallas="auto"):
     """Functional entry point mirroring ``LaplaceLearningSparseHard.apply``.
 
     x: (n, d) features, first ``y.shape[0]`` rows labeled; y: (k_lab, l)
@@ -103,7 +105,7 @@ def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
         raise ValueError("mode='dense' requires solver='cholesky'")
     cfg = LaplaceConfig(float(tau), epsilon if isinstance(epsilon, str)
                         else float(epsilon), int(k), solver, float(cg_tol),
-                        int(cg_max_iter), mode)
+                        int(cg_max_iter), mode, use_pallas)
     return _laplace_op(cfg, x, y)
 
 
@@ -163,8 +165,8 @@ def _forward(cfg: LaplaceConfig, x, y):
     m = n - k_lab
     if cfg.mode == "dense":
         g = build_dense_graph(x, cfg.k, cfg.epsilon)
-        pred, (_, _, chol) = dense_forward(g, y, cfg.tau)
-        return pred, (g, None, chol, pred)
+        pred, (w, _, chol) = dense_forward(g, y, cfg.tau, x, cfg.use_pallas)
+        return pred, (g, w, chol, pred)
     g = build_graph(x, cfg.k, cfg.epsilon)
     w, _ = edge_weights(g)
     deg = sym_rowsum(g, w)
@@ -191,7 +193,8 @@ def _laplace_fwd(cfg: LaplaceConfig, x, y):
 def _laplace_bwd(cfg: LaplaceConfig, res, gbar):
     g, deg, factor, pred, x, y = res
     if cfg.mode == "dense":
-        gx = dense_backward(g, y, pred, x, factor, gbar, cfg.auto_eps)
+        gx = dense_backward(g, y, pred, x, factor, gbar, cfg.auto_eps,
+                            w=deg, use_pallas=cfg.use_pallas)
         return gx, jnp.zeros_like(y)
     n, k = g.nbr.shape
     k_lab = y.shape[0]

@@ -33,6 +33,9 @@ def make_mesh(n_devices: int | None = None, axes: tuple[str, ...] = ("data",),
     """
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
+    if n_devices is not None and n < n_devices:
+        raise ValueError(f"requested a {n_devices}-device mesh but only "
+                         f"{n} devices are visible")
     if shape is None:
         if len(axes) == 1:
             shape = (n,)

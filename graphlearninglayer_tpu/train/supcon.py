@@ -1,0 +1,102 @@
+"""Supervised-contrastive / SimCLR encoder pretraining.
+
+The reference ecosystem trains GLL heads on top of SupCon/SimCLR-pretrained
+encoders (its shipped CIFAR-10 checkpoint is SimCLR-pretrained,
+README.md:31-32; ``--sup_method SupCon``, losses.py:11-98, and the
+N-crop loader machinery utils.py:27-45, 379-502 exist for this).  This
+driver provides that capability natively: multi-view batches through the
+BuildNet encoder+head, SupCon loss on the normalized features (labels for
+SupCon mode, no labels for SimCLR mode).
+
+Run: python -m graphlearninglayer_tpu.train.supcon --dataset synthetic \
+        --batch_size 128 --epochs 2 --sup_method SupCon
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.cli import parse_option
+from ..data import Transform, TwoCropBatchLoader, load_dataset
+from ..models import BuildNet
+from ..utils.checkpoint import save_checkpoint
+from .losses import sup_con_loss
+from .optim import make_lr_schedule, make_optimizer
+from .trainer import TrainState, _apply, create_train_state
+
+__all__ = ["run_supcon", "main"]
+
+
+def run_supcon(opt, simclr: bool = False) -> dict:
+    spec = load_dataset(opt.dataset, allow_synthetic_fallback=True)
+    tf = Transform(spec.name if spec.name in
+                   ("mnist", "fashion_mnist", "cifar10", "cifar100",
+                    "synthetic") else "synthetic",
+                   opt.augment_type_ss if opt.augment_type_ss != "no"
+                   else "weak")
+    loader = TwoCropBatchLoader(spec.train_images, spec.train_labels,
+                                opt.batch_size, tf, seed=opt.seed,
+                                workers=opt.num_workers, n_views=2)
+    model = BuildNet(name=opt.model, head=opt.head_type,
+                     feat_dim=opt.embedding_dim,
+                     num_classes=spec.num_classes)
+    schedule = make_lr_schedule(opt.learning_rate, opt.epochs, len(loader),
+                                cosine=opt.cosine,
+                                lr_decay_rate=opt.lr_decay_rate,
+                                lr_decay_epochs=opt.lr_decay_epochs,
+                                warm=opt.warm)
+    tx = make_optimizer(schedule, adam=opt.Adam, momentum=opt.momentum,
+                        weight_decay=opt.weight_decay)
+    state = create_train_state(model, tx, jax.random.PRNGKey(opt.seed),
+                               jnp.zeros((1, *spec.image_shape), jnp.float32))
+
+    @jax.jit
+    def step(state: TrainState, views, labels, rng):
+        bsz, n_views = views.shape[:2]
+        flat = views.reshape(bsz * n_views, *views.shape[2:])
+
+        def loss_fn(params):
+            (_, feats), new_stats = _apply(model, params, state.batch_stats,
+                                           flat, train=True, rng=rng)
+            feats = feats.reshape(bsz, n_views, -1)
+            loss = sup_con_loss(feats, None if simclr else labels,
+                                temperature=opt.temp)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), loss
+
+    records = {"loss": []}
+    for epoch in range(1, opt.epochs + 1):
+        t0 = time.time()
+        losses = []
+        for i, (idx, views, labels) in enumerate(loader):
+            state, loss = step(state, jnp.asarray(views),
+                               jnp.asarray(labels),
+                               jax.random.PRNGKey(opt.seed + epoch * 10000
+                                                  + i))
+            losses.append(float(loss))
+        records["loss"].append(float(np.mean(losses)))
+        print(f"supcon epoch {epoch}: loss {records['loss'][-1]:.4f} "
+              f"({time.time() - t0:.1f}s)")
+    save_checkpoint(os.path.join(opt.save_folder, "supcon"), state,
+                    opt.epochs)
+    return records
+
+
+def main(argv=None):
+    opt = parse_option(argv)
+    return run_supcon(opt, simclr=(opt.sup_method != "SupCon"))
+
+
+if __name__ == "__main__":
+    main()

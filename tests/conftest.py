@@ -1,19 +1,16 @@
 """Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
 
-Multi-chip sharding is validated on simulated host devices
-(``--xla_force_host_platform_device_count``); the real TPU chip is exercised
-by bench.py, not the unit suite.
+The environment boots every interpreter with the single-process TPU plugin
+already registered and ``JAX_PLATFORMS`` pointing at it (sitecustomize), so
+env vars set here are too late — but jax *backends* initialize lazily, so
+``jax.config.update`` can still steer the suite onto 8 virtual CPU devices
+before the first computation.  This keeps the unit suite off the (single
+-process) TPU chip and gives real multi-device coverage.
 """
-import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
-
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

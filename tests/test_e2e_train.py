@@ -42,7 +42,11 @@ def test_gl_training_learns():
                          seed=0, workers=0)
 
     model = TinyCNN()
-    schedule = make_lr_schedule(0.05, epochs=5, steps_per_epoch=len(loader))
+    # lr 0.02 + refresh every 2 epochs: the custom CE on raw solver scores
+    # has unbounded gradients as predictions -> 0 (the reference documents
+    # the same exploding-gradient mode, train_and_adversarial.py:177-183),
+    # so the smoke test runs in the stable regime.
+    schedule = make_lr_schedule(0.02, epochs=5, steps_per_epoch=len(loader))
     tx = make_optimizer(schedule)
     x0 = jnp.zeros((1, *spec.image_shape), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), x0)
@@ -66,8 +70,9 @@ def test_gl_training_learns():
         # score-driven base refresh (FullySup.py:277-283).  Note: refreshing
         # onto the most-uncertain samples makes the raw loss non-monotonic by
         # design; the learning signal is accuracy.
-        base_imgs, base_labels = ds.select_base(32, "score")
-        base_x = tf.normalize(base_imgs)
+        if epoch % 2 == 1:
+            base_imgs, base_labels = ds.select_base(32, "score")
+            base_x = tf.normalize(base_imgs)
 
     assert np.all(np.isfinite(losses)), "training produced NaN/inf losses"
     assert np.mean(train_accs[-5:]) > 0.7
