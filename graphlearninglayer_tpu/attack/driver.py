@@ -124,14 +124,20 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
             EPSILON_SWEEP if attack in ("fgsm", "ifgsm") else C_SWEEP)
         curve = []
         usable = (len(spec.test_labels) // batch_size) * batch_size
+        # attack fns built ONCE per target — one compile serves the sweep
+        if attack in ("fgsm", "ifgsm"):
+            atk = (make_gl_fast_gradient_attack(encode, num_classes,
+                                                tau=0.0, k=25)
+                   if is_gl else make_mlp_fast_gradient_attack(classify))
+        else:
+            atk = (make_gl_cw_attack(encode, num_classes, tau=0.0, k=25,
+                                     iters=cw_iters)
+                   if is_gl else make_mlp_cw_attack(classify,
+                                                    iters=cw_iters))
         for point in points:
             correct = 0
             first_batch = None
             if attack in ("fgsm", "ifgsm"):
-                atk = (make_gl_fast_gradient_attack(encode, num_classes,
-                                                    tau=0.0, k=25)
-                       if is_gl else
-                       make_mlp_fast_gradient_attack(classify))
                 for i in range(0, usable, batch_size):
                     x = jnp.asarray(test_x[i:i + batch_size])
                     y = jnp.asarray(spec.test_labels[i:i + batch_size])
@@ -145,10 +151,6 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
                     if first_batch is None:
                         first_batch = (np.asarray(x), np.asarray(adv))
             else:  # cw
-                atk = (make_gl_cw_attack(encode, num_classes, tau=0.0, k=25,
-                                         iters=cw_iters)
-                       if is_gl else make_mlp_cw_attack(classify,
-                                                        iters=cw_iters))
                 for i in range(0, usable, batch_size):
                     x = jnp.asarray(test_x[i:i + batch_size])
                     y = spec.test_labels[i:i + batch_size]

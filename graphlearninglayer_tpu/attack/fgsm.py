@@ -62,13 +62,12 @@ def make_gl_fast_gradient_attack(encode: Callable, num_classes: int,
     grad_fn = jax.grad(lambda img, b_i, b_l, lab: gl_loss(b_i, b_l, img,
                                                           lab)[0])
 
-    # eps is static: the iteration count of IFGSM is a function of it
-    # (adversarial.py:492-495), so each epsilon in the sweep compiles its own
-    # fixed-trip-count loop.
-    @partial(jax.jit, static_argnames=("kind", "eps"))
-    def attack(base_images, base_labels, images, labels, eps, kind,
-               min_val, max_val):
-        iters = _num_iters(kind, float(eps))
+    # eps and the IFGSM iteration count (adversarial.py:492-495) are traced,
+    # so ONE compiled program serves the whole epsilon sweep (fori_loop with
+    # a dynamic trip count lowers to while_loop).
+    @partial(jax.jit, static_argnames=("kind",))
+    def _attack(base_images, base_labels, images, labels, eps, iters, kind,
+                min_val, max_val):
         step = eps if kind == "fgsm" else 0.05
         lo = images - eps
         hi = images + eps
@@ -81,6 +80,13 @@ def make_gl_fast_gradient_attack(encode: Callable, num_classes: int,
         adv = jax.lax.fori_loop(0, iters, body, images)
         _, pred = gl_loss(base_images, base_labels, adv, labels)
         return adv, jnp.argmax(pred, axis=1)
+
+    def attack(base_images, base_labels, images, labels, eps, kind,
+               min_val, max_val):
+        iters = _num_iters(kind, float(eps))
+        return _attack(base_images, base_labels, images, labels,
+                       jnp.float32(eps), jnp.int32(iters), kind, min_val,
+                       max_val)
 
     return attack
 
@@ -96,9 +102,8 @@ def make_mlp_fast_gradient_attack(classify: Callable):
 
     grad_fn = jax.grad(nll)
 
-    @partial(jax.jit, static_argnames=("kind", "eps"))
-    def attack(images, labels, eps, kind, min_val, max_val):
-        iters = _num_iters(kind, float(eps))
+    @partial(jax.jit, static_argnames=("kind",))
+    def _attack(images, labels, eps, iters, kind, min_val, max_val):
         step = eps if kind == "fgsm" else 0.05
         lo, hi = images - eps, images + eps
 
@@ -109,5 +114,10 @@ def make_mlp_fast_gradient_attack(classify: Callable):
 
         adv = jax.lax.fori_loop(0, iters, body, images)
         return adv, jnp.argmax(classify(adv), axis=1)
+
+    def attack(images, labels, eps, kind, min_val, max_val):
+        iters = _num_iters(kind, float(eps))
+        return _attack(images, labels, jnp.float32(eps), jnp.int32(iters),
+                       kind, min_val, max_val)
 
     return attack

@@ -141,6 +141,12 @@ def synthetic_dataset(num_classes: int = 10, image_shape=(28, 28, 1),
         r = np.random.default_rng(seed + seed_off)
         labels = r.integers(0, num_classes, n)
         base = templates[labels]
+        # per-sample spatial jitter so no two samples are pixel-identical
+        # (exactly coincident inputs would collapse to coincident features,
+        # whose edges the graph op drops — reference GLL.py:198 semantics)
+        shifts = r.integers(-2, 3, size=(n, 2))
+        base = np.stack([np.roll(b, tuple(s), axis=(0, 1))
+                         for b, s in zip(base, shifts)])
         noise = r.normal(0, 0.35, base.shape).astype(np.float32)
         img = (base + noise + 1.5) / 3.0
         return (np.clip(img, 0, 1) * 255).astype(np.uint8), labels

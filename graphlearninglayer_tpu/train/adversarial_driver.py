@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..attack.pgd import make_gl_pgd_perturb, make_mlp_pgd_perturb
+from ..attack.pgd import make_gl_pgd_perturb_p, make_mlp_pgd_perturb_p
 from ..data import Transform, load_dataset, select_base_indices
 from ..models import (PreActResNetFeat, SmallCNN, SmallCNNGL, l2_normalize,
                       resnet18)
@@ -57,6 +57,11 @@ class AdvConfig:
     lr_step: int = 10 ** 9
     pgd_alpha: float = 0.01
     pgd_iters: int = 5
+    # graph-op regularizer; the reference drivers use the op default tau=0
+    # (train_and_adversarial.py:552) — kept for the real datasets.  The
+    # synthetic smoke config uses a tiny tau so collapsed-feature batches
+    # (coincident points -> zero-degree nodes) stay solvable.
+    gl_tau: float = 0.0
 
 
 # reference train_and_adversarial.py:783-870 (epochs scaled down by CLI flag
@@ -76,7 +81,7 @@ DATASET_CONFIGS = {
                          0.05, 200, 10, 0.1, 150),
     # offline-friendly small config for smoke runs
     "synthetic": AdvConfig("synthetic", "smallcnn_gl", "smallcnn", -1.0, 1.0,
-                           0.1, 256, 8, 0.01, 3, adam=True),
+                           0.1, 256, 8, 0.01, 3, adam=True, gl_tau=1e-6),
 }
 
 
@@ -188,7 +193,7 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                                               dtype=feats.dtype)
                 # adversarial drivers use op defaults tau=0, epsilon='auto'
                 # (train_and_adversarial.py:552)
-                pred = laplace_learning(feats, label_matrix, tau=0.0,
+                pred = laplace_learning(feats, label_matrix, tau=cfg.gl_tau,
                                         epsilon="auto", k=25)
                 return custom_ce_loss(pred, y), new_stats
 
@@ -216,6 +221,36 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
             return TrainState(params, new_stats, opt_state,
                               state.step + 1), loss
 
+        # PGD perturbation fns built ONCE per target with live params as
+        # arguments (a per-batch closure would retrace every step)
+        def apply_feats(params, batch_stats, imgs):
+            return gl_features(params, batch_stats, imgs, False)[0]
+
+        def apply_logp(params, batch_stats, imgs):
+            return mlp_logp(params, batch_stats, imgs, False)[0]
+
+        gl_perturb = make_gl_pgd_perturb_p(
+            apply_feats, num_classes, tau=cfg.gl_tau, k=25,
+            eps=cfg.pgd_epsilon,
+            alpha=cfg.pgd_alpha, num_iters=cfg.pgd_iters)
+        mlp_perturb = make_mlp_pgd_perturb_p(
+            apply_logp, eps=cfg.pgd_epsilon, alpha=cfg.pgd_alpha,
+            num_iters=cfg.pgd_iters)
+
+        @jax.jit
+        def gl_pred(params, batch_stats, base_x, base_y, x):
+            data = jnp.concatenate([base_x, x], axis=0)
+            feats = apply_feats(params, batch_stats, data)
+            label_matrix = jax.nn.one_hot(base_y, num_classes,
+                                          dtype=feats.dtype)
+            pred = laplace_learning(feats, label_matrix, tau=cfg.gl_tau,
+                                    epsilon="auto", k=25)
+            return jnp.argmax(pred, axis=1)
+
+        @jax.jit
+        def mlp_pred(params, batch_stats, x):
+            return jnp.argmax(apply_logp(params, batch_stats, x), axis=1)
+
         train_x = tf.normalize(spec.train_images)
         test_x = tf.normalize(spec.test_images)
 
@@ -225,6 +260,8 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
         base_x = jnp.asarray(train_x[base_idx])
         base_y = jnp.asarray(spec.train_labels[base_idx])
 
+        print(f"[{target}/{rob_or_nat}/{dataset}] training "
+              f"({steps_per_epoch} steps/epoch)...", flush=True)
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
             order = rng_np.permutation(len(spec.train_labels))
@@ -234,32 +271,14 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                 x = jnp.asarray(train_x[sel])
                 y = jnp.asarray(spec.train_labels[sel])
                 if rob_or_nat == "robust":
-                    frozen = state
+                    key = jax.random.PRNGKey(seed + epoch * 1000 + i)
                     if is_gl:
-                        def enc(images):
-                            return gl_features(frozen.params,
-                                               frozen.batch_stats, images,
-                                               False)[0]
-                        perturb = make_gl_pgd_perturb(
-                            enc, num_classes, tau=0.0, k=25,
-                            eps=cfg.pgd_epsilon, alpha=cfg.pgd_alpha,
-                            num_iters=cfg.pgd_iters)
-                        x = perturb(base_x, base_y, x, y,
-                                    jax.random.PRNGKey(seed + epoch * 1000
-                                                       + i),
-                                    min_val, max_val)
+                        x = gl_perturb(state.params, state.batch_stats,
+                                       base_x, base_y, x, y, key, min_val,
+                                       max_val)
                     else:
-                        def cls(images):
-                            return mlp_logp(frozen.params,
-                                            frozen.batch_stats, images,
-                                            False)[0]
-                        perturb = make_mlp_pgd_perturb(
-                            cls, eps=cfg.pgd_epsilon, alpha=cfg.pgd_alpha,
-                            num_iters=cfg.pgd_iters)
-                        x = perturb(x, y,
-                                    jax.random.PRNGKey(seed + epoch * 1000
-                                                       + i),
-                                    min_val, max_val)
+                        x = mlp_perturb(state.params, state.batch_stats,
+                                        x, y, key, min_val, max_val)
                 if is_gl:
                     state, loss = gl_train_step(state, base_x, base_y, x, y)
                 else:
@@ -270,10 +289,18 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                   f"avg loss {total_loss / nb:.4f} "
                   f"({time.time() - t0:.1f}s)")
 
-            # per-epoch eval (test / test_GL)
-            acc = _evaluate(is_gl, gl_features, mlp_logp, state, base_x,
-                            base_y, test_x, spec.test_labels, num_classes,
-                            cfg.batch_size)
+            # per-epoch eval (test / test_GL, train_and_adversarial.py:960-969)
+            correct, count = 0, 0
+            usable = (len(spec.test_labels) // cfg.batch_size) * cfg.batch_size
+            for j in range(0, usable, cfg.batch_size):
+                xb = jnp.asarray(test_x[j:j + cfg.batch_size])
+                pred = (gl_pred(state.params, state.batch_stats, base_x,
+                                base_y, xb) if is_gl
+                        else mlp_pred(state.params, state.batch_stats, xb))
+                correct += int(np.sum(np.asarray(pred) ==
+                                      spec.test_labels[j:j + cfg.batch_size]))
+                count += cfg.batch_size
+            acc = correct / max(count, 1)
             print(f"  test acc: {acc:.4f}")
             results[f"{target}_acc"] = acc
 
@@ -281,36 +308,6 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
         save_checkpoint(os.path.join(
             save_dir, f"{dataset}_{target}_{rob_or_nat}"), state, cfg.epochs)
     return results
-
-
-def _evaluate(is_gl, gl_features, mlp_logp, state, base_x, base_y, test_x,
-              test_labels, num_classes, batch_size):
-    correct, count = 0, 0
-    usable = (len(test_labels) // batch_size) * batch_size or len(test_labels)
-
-    @jax.jit
-    def gl_pred(state: TrainState, x):
-        data = jnp.concatenate([base_x, x], axis=0)
-        feats, _ = gl_features(state.params, state.batch_stats, data, False)
-        label_matrix = jax.nn.one_hot(base_y, num_classes, dtype=feats.dtype)
-        pred = laplace_learning(feats, label_matrix, tau=0.0,
-                                epsilon="auto", k=25)
-        return jnp.argmax(pred, axis=1)
-
-    @jax.jit
-    def mlp_pred(state: TrainState, x):
-        logp, _ = mlp_logp(state.params, state.batch_stats, x, False)
-        return jnp.argmax(logp, axis=1)
-
-    for i in range(0, usable, batch_size):
-        x = jnp.asarray(test_x[i:i + batch_size])
-        if len(x) < batch_size:
-            break
-        pred = gl_pred(state, x) if is_gl else mlp_pred(state, x)
-        correct += int(np.sum(np.asarray(pred) ==
-                              test_labels[i:i + batch_size]))
-        count += batch_size
-    return correct / max(count, 1)
 
 
 def main(argv=None):

@@ -222,6 +222,26 @@ def run_training(opt) -> dict:
 
     save_checkpoint(os.path.join(opt.save_folder, "last"), state, opt.epochs)
     _records_and_plots(opt.save_folder, records)
+
+    # final feature-embedding visualization (reference FullySup.py:302 ->
+    # visualize.py:55); base points starred
+    try:
+        from ..evalx import encode_dataset, visualize
+        from ..train.trainer import make_encode_step
+
+        encode_step = make_encode_step(model)
+        test_f = encode_dataset(encode_step, state, spec.test_images,
+                                eval_tf.normalize)
+        base_f = encode_dataset(encode_step, state, base_imgs,
+                                eval_tf.normalize)
+        feats = np.concatenate([base_f, test_f])
+        labels_v = np.concatenate([base_labels, spec.test_labels])
+        base_mask = np.zeros(len(feats), bool)
+        base_mask[: len(base_f)] = True
+        visualize(feats, labels_v, opt.save_folder, base_mask,
+                  tsne=opt.TSNE)
+    except Exception as e:  # visualization is best-effort observability
+        print(f"visualization skipped: {e}")
     return records
 
 

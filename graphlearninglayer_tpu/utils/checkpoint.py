@@ -31,7 +31,9 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
     if extra:
         payload["extra"] = extra
     with _ckpt(path) as mgr:
-        mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        # force: re-saving the same epoch overwrites (orbax otherwise keeps
+        # the stale step silently)
+        mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
         mgr.wait_until_finished()
 
 
