@@ -18,15 +18,20 @@ import time
 import numpy as np
 
 
-def bench_tpu(x_np, y_np, gbar_np, iters=20):
+def bench_tpu(x_np, y_np, gbar_np, iters=64):
     import jax
     import jax.numpy as jnp
 
     from graphlearninglayer_tpu.ops import laplace_learning
 
-    x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
     gbar = jnp.asarray(gbar_np)
+    # distinct inputs per iteration: execution infrastructure may replay
+    # cached results for identical (program, input) pairs, which would make
+    # a same-input timing loop meaningless
+    rng = np.random.default_rng(1)
+    xs = [jnp.asarray(x_np + 1e-3 * rng.normal(size=x_np.shape)
+                      .astype(np.float32)) for _ in range(8)]
 
     @jax.jit
     def fwd_bwd(x):
@@ -36,11 +41,11 @@ def bench_tpu(x_np, y_np, gbar_np, iters=20):
         return jax.value_and_grad(loss)(x)
 
     # compile + warmup
-    val, grad = fwd_bwd(x)
+    val, grad = fwd_bwd(xs[0])
     jax.block_until_ready(grad)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        val, grad = fwd_bwd(x)
+    for i in range(iters):
+        val, grad = fwd_bwd(xs[i % len(xs)])
     jax.block_until_ready(grad)
     dt = (time.perf_counter() - t0) / iters
     return dt

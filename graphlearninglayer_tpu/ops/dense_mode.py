@@ -38,22 +38,33 @@ __all__ = ["DenseGraph", "build_dense_graph", "dense_affinity",
 class DenseGraph(NamedTuple):
     """Dense symmetrized KNN graph over n nodes.
 
-    mask:  (n, n) {0,1} float — union-of-directed-KNN edges, self and
-           zero-distance entries dropped (reference GLL.py:196-198).
+    m_raw: (n, n) {0,1} float — RAW directed KNN indicator
+           (m_raw[i, nbr[i, :]] = 1).  The union symmetrization and
+           self/zero-distance exclusions (reference GLL.py:196-198) are
+           applied lazily (``mask`` property) or inside the Pallas affinity
+           kernel — never as standalone n x n HBM passes on the hot path.
     d2:    (n, n) float — full squared-distance matrix.
     eps:   (n,) float — per-node bandwidth (k-th NN distance in auto mode).
     nbr:   (n, k) int32 — KNN lists (kept for the auto-eps selector).
-    auto:  static bool — self-tuning bandwidth mode.
     """
 
-    mask: jax.Array
+    m_raw: jax.Array
     d2: jax.Array
     eps: jax.Array
     nbr: jax.Array
 
     @property
+    def mask(self) -> jax.Array:
+        """Final symmetrized edge mask (union of directed KNN edges; self
+        and zero-distance entries dropped)."""
+        n = self.m_raw.shape[0]
+        mask = jnp.maximum(self.m_raw, self.m_raw.T)
+        off_diag = 1.0 - jnp.eye(n, dtype=mask.dtype)
+        return mask * off_diag * (self.d2 > 0.0)
+
+    @property
     def n(self) -> int:
-        return self.mask.shape[0]
+        return self.m_raw.shape[0]
 
     @property
     def kth(self) -> jax.Array:
@@ -66,10 +77,8 @@ def build_dense_graph(x: jax.Array, k: int, epsilon="auto") -> DenseGraph:
     nbr, dist2 = knn(x, k, d2=d2)
 
     rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
-    m = jnp.zeros((n, n), dtype=x.dtype).at[rows, nbr.reshape(-1)].set(1.0)
-    mask = jnp.maximum(m, m.T)
-    off_diag = 1.0 - jnp.eye(n, dtype=x.dtype)
-    mask = mask * off_diag * (d2 > 0.0)
+    m_raw = jnp.zeros((n, n), dtype=x.dtype).at[rows,
+                                                nbr.reshape(-1)].set(1.0)
 
     if isinstance(epsilon, str):
         if epsilon != "auto":
@@ -79,7 +88,7 @@ def build_dense_graph(x: jax.Array, k: int, epsilon="auto") -> DenseGraph:
         eps = jnp.maximum(jnp.sqrt(dist2[:, -1]), 1e-6)
     else:
         eps = jnp.full((n,), float(epsilon), dtype=x.dtype)
-    return DenseGraph(mask=mask, d2=d2, eps=eps, nbr=nbr)
+    return DenseGraph(m_raw=m_raw, d2=d2, eps=eps, nbr=nbr)
 
 
 def _pallas_enabled(use_pallas: str) -> bool:
@@ -102,11 +111,11 @@ def dense_affinity(g: DenseGraph, x: jax.Array | None = None,
     """
     inv = 1.0 / (g.eps[:, None] * g.eps[None, :])
     if x is not None and _pallas_enabled(use_pallas):
-        from .kernels.affinity import fused_affinity
+        from .kernels.affinity import fused_affinity_sym
 
-        w = fused_affinity(x.astype(jnp.float32),
-                           g.eps.astype(jnp.float32),
-                           g.mask.astype(jnp.float32)).astype(x.dtype)
+        w = fused_affinity_sym(x.astype(jnp.float32),
+                               g.eps.astype(jnp.float32),
+                               g.m_raw.astype(jnp.float32)).astype(x.dtype)
     else:
         w = jnp.exp(-4.0 * g.d2 * inv) * g.mask
     v = -8.0 * w * inv

@@ -3,7 +3,7 @@ from .losses import (custom_ce_loss, entropy, l2_loss, logsumexp_loss,
 from .optim import make_lr_schedule, make_optimizer
 from .trainer import (TrainState, create_train_state, make_encode_step,
                       make_gl_eval_step, make_gl_train_step,
-                      make_mlp_train_step)
+                      make_mlp_train_step, make_sharded_gl_train_step)
 
 __all__ = [
     "custom_ce_loss", "entropy", "l2_loss", "logsumexp_loss", "sup_con_loss",
@@ -11,4 +11,5 @@ __all__ = [
     "make_lr_schedule", "make_optimizer",
     "TrainState", "create_train_state", "make_encode_step",
     "make_gl_eval_step", "make_gl_train_step", "make_mlp_train_step",
+    "make_sharded_gl_train_step",
 ]

@@ -23,7 +23,8 @@ from ..ops import laplace_learning
 from .losses import custom_ce_loss
 
 __all__ = ["TrainState", "create_train_state", "make_gl_train_step",
-           "make_mlp_train_step", "make_gl_eval_step", "make_encode_step"]
+           "make_mlp_train_step", "make_gl_eval_step", "make_encode_step",
+           "make_sharded_gl_train_step"]
 
 
 class TrainState(NamedTuple):
@@ -100,6 +101,56 @@ def make_gl_train_step(model, tx: optax.GradientTransformation,
         return new_state, {"loss": loss, "acc": acc}, scores
 
     return step
+
+
+def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
+                               num_classes: int, mesh, tau: float,
+                               epsilon="auto", k: int = 25,
+                               solver: str = "cholesky",
+                               score_type: str = "entropy") -> Callable:
+    """Mesh-sharded GL train step: the CNN is data-parallel over every mesh
+    axis (batch rows sharded), and the graph head's node dimension carries a
+    sharding constraint over the same axes, so GSPMD tiles the all-pairs
+    distance matmul and Laplacian algebra across chips and inserts the
+    ICI collectives.  Parameters/optimizer state are replicated; gradient
+    reduction is the usual psum.
+
+    Call with base/batch arrays whose leading dims are divisible by the
+    mesh size.  The returned function is jitted with explicit shardings.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    batch_sharding = NamedSharding(mesh, P(axes))
+    repl = NamedSharding(mesh, P())
+    feat_sharding = NamedSharding(mesh, P(axes, None))
+
+    def step(state: TrainState, base_images, base_labels, images, labels,
+             rng):
+        x = jnp.concatenate([base_images, images], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+
+        def loss_fn(params):
+            (_, features), new_stats = _apply(model, params,
+                                              state.batch_stats, x,
+                                              train=True, rng=rng)
+            features = jax.lax.with_sharding_constraint(features,
+                                                        feat_sharding)
+            pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
+                                    k=k, solver=solver)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        scores = _scores(pred, labels, score_type)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}, scores
+
+    return jax.jit(step, in_shardings=(None, repl, repl, batch_sharding,
+                                       batch_sharding, None))
 
 
 def make_mlp_train_step(model, tx: optax.GradientTransformation) -> Callable:
