@@ -17,6 +17,7 @@ from typing import Iterator
 
 import numpy as np
 
+from . import native as _native
 from .augment import Transform
 from .datasets import DatasetSpec
 
@@ -93,7 +94,8 @@ class BatchLoader:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, transform: Transform,
-                 shuffle: bool = True, seed: int = 0, workers: int = 8):
+                 shuffle: bool = True, seed: int = 0, workers: int = 8,
+                 backend: str = "auto"):
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -101,6 +103,16 @@ class BatchLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.pool = ThreadPoolExecutor(workers) if workers > 0 else None
+        # 'native' = multithreaded C++ ops (data/native.py, per-op bit-exact
+        # with PIL); 'pil' = the Python/PIL path; 'auto' picks native when
+        # the library is available (g++ on the host).
+        if backend not in ("auto", "native", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "auto":
+            backend = "native" if _native.native_available() else "pil"
+        elif backend == "native" and not _native.native_available():
+            raise RuntimeError("native augmentation backend unavailable")
+        self.backend = backend
 
     def __len__(self):
         return len(self.labels) // self.batch_size
@@ -108,6 +120,14 @@ class BatchLoader:
     def _augment_batch(self, batch: np.ndarray) -> np.ndarray:
         if self.transform.mode == "eval":
             return self.transform.normalize(batch)
+        if self.backend == "native":
+            t = self.transform
+            seeds = self.rng.integers(0, 2 ** 63, len(batch), dtype=np.uint64)
+            out = _native.augment_batch_native(
+                batch, seeds, rand_n=t.rand.n, rotation=t.rotation,
+                flip=t.flip, pad=t.pad,
+                pad_reflect=(t.pad_mode == "reflect"))
+            return _native.normalize_batch_native(out, t.mean, t.std)
         seeds = self.rng.integers(0, 2 ** 31, len(batch))
 
         def one(args):

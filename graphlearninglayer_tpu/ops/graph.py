@@ -50,6 +50,13 @@ __all__ = [
     "sym_rowsum",
     "sym_spmm",
     "dense_weight_matrix",
+    "SymEll",
+    "max_in_degree",
+    "ell_cap",
+    "build_sym_ell",
+    "ell_reweight",
+    "ell_rowsum",
+    "ell_spmm",
 ]
 
 
@@ -172,6 +179,176 @@ def sym_spmm(g: BatchGraph, vals: jax.Array, x: jax.Array) -> jax.Array:
     contrib = (c[:, :, None] * x[:, None, :]).reshape(-1, x.shape[1])
     out = out + jax.ops.segment_sum(contrib, g.nbr.reshape(-1),
                                     num_segments=g.n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ELL (padded row-major) representation of the SYMMETRIZED matrix.
+#
+# ``sym_spmm`` above scatter-adds the in-edge half on every call — and
+# scatter-add is the slowest memory primitive on TPU (it serializes on
+# colliding indices).  In the CG solve the same graph is multiplied hundreds
+# of times, so we pay ONE sort/scatter to build, per row, the *combined*
+# padded list of all symmetric-matrix entries of that row (its k out-edges
+# plus all its in-edges).  Every subsequent matvec is then pure
+# gather + multiply + row-reduction — exactly the memory access pattern TPUs
+# like (dense reads, static shapes, no collisions).  This is also the natural
+# sharded layout: rows (and their slots) partition cleanly across a mesh
+# axis, and a matvec needs only an all-gather of the iterate.
+
+
+class SymEll(NamedTuple):
+    """Padded row-wise (ELL) form of the symmetric union-edge matrix, with a
+    COO overflow list for hub nodes (ELL+COO hybrid).
+
+    KNN graphs in high dimension have *hubs*: a node can appear in the
+    neighbor lists of far more than k others (in-degree is unbounded), so a
+    pure padded layout sized to the max in-degree can explode.  Rows hold up
+    to ``cap`` incoming edges in the padded slots; the (few) edges of
+    hub rows beyond the cap go to the flat overflow arrays and are applied
+    with one small scatter-add.
+
+    Attributes:
+      nbr:  (n, S) int32 — column index of each slot (0 on padding slots).
+      val:  (n, S) float — coefficient-folded symmetric value of the slot's
+            edge (0 on padding slots), for the edge values the structure was
+            built with.
+      edge: (n, S) int32 — flat directed-edge id in [0, n*k) identifying the
+            originating entry of the (n, k) per-edge value arrays; n*k on
+            padding slots.  Enables :func:`ell_reweight` to reuse the
+            structure for any other symmetric per-edge values.
+      ovf_dst/ovf_src/ovf_val/ovf_edge: (E_ovf,) overflow entries
+            (A[dst, src] = val); dst == n and val == 0 on padding entries.
+            E_ovf may be 0 when the cap covers every row.
+    """
+
+    nbr: jax.Array
+    val: jax.Array
+    edge: jax.Array
+    ovf_dst: jax.Array
+    ovf_src: jax.Array
+    ovf_val: jax.Array
+    ovf_edge: jax.Array
+
+
+def max_in_degree(g: BatchGraph) -> jax.Array:
+    """Max over nodes of the number of *valid* incoming directed edges."""
+    counts = jax.ops.segment_sum(
+        (g.coef.reshape(-1) > 0).astype(jnp.int32), g.nbr.reshape(-1),
+        num_segments=g.n)
+    return jnp.max(counts)
+
+
+def overflow_count(g: BatchGraph, cap: int) -> jax.Array:
+    """Number of valid incoming edges beyond ``cap`` per-row slots, total."""
+    counts = jax.ops.segment_sum(
+        (g.coef.reshape(-1) > 0).astype(jnp.int32), g.nbr.reshape(-1),
+        num_segments=g.n)
+    return jnp.sum(jnp.maximum(counts - cap, 0))
+
+
+def ell_cap(max_indeg: int, multiple: int = 32) -> int:
+    """Static slot budget for the in-edge half: round up to ``multiple``.
+
+    Bucketing bounds jit retraces when graphs of similar shape are solved
+    repeatedly (the eval path is called once per eval epoch).
+    """
+    m = max(int(max_indeg), 1)
+    return -(-m // multiple) * multiple
+
+
+def build_sym_ell(g: BatchGraph, vals: jax.Array, cap: int,
+                  ovf_cap: int = 0) -> SymEll:
+    """Build the combined ELL(+COO) structure for symmetric values ``vals``.
+
+    ``cap`` and ``ovf_cap`` are static.  Correctness requires that the number
+    of incoming edges beyond ``cap`` per-row slots fits in ``ovf_cap``
+    (i.e. ``ovf_cap >= overflow_count(g, cap)``; with
+    ``cap >= max_in_degree(g)`` an ``ovf_cap`` of 0 suffices) — callers
+    compute both from the graph (see ops/transductive.py).  Costs a couple of
+    argsorts + one scatter; every later :func:`ell_spmm` is gather-dominated.
+    """
+    n, k = g.nbr.shape
+    e_cnt = n * k
+    c = (g.coef * vals).reshape(-1)
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    dst = g.nbr.reshape(-1)
+    # invalid (masked) edges sort into a discarded bucket at row n
+    dst_eff = jnp.where(g.coef.reshape(-1) > 0, dst, n).astype(jnp.int32)
+    order = jnp.argsort(dst_eff)
+    dst_s = dst_eff[order]
+    src_s = src[order]
+    c_s = c[order]
+    # slot rank of each edge within its destination row
+    rank = (jnp.arange(e_cnt, dtype=jnp.int32)
+            - jnp.searchsorted(dst_s, dst_s, side="left").astype(jnp.int32))
+    row = jnp.where((dst_s < n) & (rank < cap), dst_s, n)
+    rank_c = jnp.minimum(rank, cap - 1)
+
+    in_nbr = jnp.zeros((n + 1, cap), jnp.int32).at[row, rank_c].set(src_s)[:n]
+    in_val = jnp.zeros((n + 1, cap), vals.dtype).at[row, rank_c].set(c_s)[:n]
+    in_edge = jnp.full((n + 1, cap), e_cnt, jnp.int32).at[row, rank_c].set(
+        order.astype(jnp.int32))[:n]
+
+    if ovf_cap > 0:
+        # pack the beyond-cap edges of hub rows to the front, take ovf_cap
+        over = (dst_s < n) & (rank >= cap)
+        pos = jnp.arange(e_cnt, dtype=jnp.int32)
+        packed = jnp.argsort(jnp.where(over, pos, e_cnt + pos))[:ovf_cap]
+        ok = over[packed]
+        ovf_dst = jnp.where(ok, dst_s[packed], n).astype(jnp.int32)
+        ovf_src = jnp.where(ok, src_s[packed], 0).astype(jnp.int32)
+        ovf_val = jnp.where(ok, c_s[packed], 0)
+        ovf_edge = jnp.where(ok, order[packed].astype(jnp.int32), e_cnt)
+    else:
+        z = jnp.zeros((0,), jnp.int32)
+        ovf_dst = ovf_src = ovf_edge = z
+        ovf_val = jnp.zeros((0,), vals.dtype)
+
+    out_edge = jnp.arange(e_cnt, dtype=jnp.int32).reshape(n, k)
+    return SymEll(
+        nbr=jnp.concatenate([g.nbr, in_nbr], axis=1),
+        val=jnp.concatenate([(g.coef * vals), in_val], axis=1),
+        edge=jnp.concatenate([out_edge, in_edge], axis=1),
+        ovf_dst=ovf_dst, ovf_src=ovf_src, ovf_val=ovf_val, ovf_edge=ovf_edge,
+    )
+
+
+def ell_reweight(g: BatchGraph, ell: SymEll, vals: jax.Array) -> SymEll:
+    """Same structure, new symmetric per-edge values (pure gather)."""
+    c = (g.coef * vals).reshape(-1)
+    c_pad = jnp.concatenate([c, jnp.zeros((1,), c.dtype)])
+    return ell._replace(val=c_pad[ell.edge],
+                        ovf_val=c_pad[ell.ovf_edge])
+
+
+def ell_rowsum(ell: SymEll) -> jax.Array:
+    """Row sums (degrees) of the symmetric matrix — (n,)."""
+    out = jnp.sum(ell.val, axis=1)
+    if ell.ovf_dst.shape[0]:
+        out = out.at[ell.ovf_dst].add(ell.ovf_val, mode="drop")
+    return out
+
+
+def ell_spmm(ell: SymEll, x: jax.Array) -> jax.Array:
+    """A @ x with A the symmetric ELL(+COO) matrix; x: (n, l) -> (n, l).
+
+    The gather runs in transposed (l, n) layout: its output is (l, n, S)
+    whose minor dims (n, S) are large, so the TPU (8, 128) tile padding is
+    negligible — gathering (n, S, l) directly would pad the class dim
+    l (~10) to 128 lanes, a >10x memory blowup.  Overflow (hub) edges are
+    applied with one small scatter-add.  This is the CG inner-loop matvec
+    (cf. the scatter-based :func:`sym_spmm`, kept for one-shot uses and as
+    the numerics oracle).
+    """
+    xt = x.T                                   # (l, n)
+    gathered = jnp.take(xt, ell.nbr, axis=1)   # (l, n, S)
+    # broadcast-multiply + reduce (NOT einsum/dot_general: XLA would
+    # transpose the operand to (n, S, l), re-padding l to 128 lanes)
+    out = jnp.sum(ell.val[None, :, :] * gathered, axis=2).T
+    if ell.ovf_dst.shape[0]:
+        out = out.at[ell.ovf_dst].add(
+            ell.ovf_val[:, None] * x[ell.ovf_src], mode="drop")
     return out
 
 

@@ -6,6 +6,22 @@ CIFAR-10, utils.py:637-651), then solve the label-propagation system with a
 Jacobi-preconditioned ``stable_conjgrad``.  The reference runs this entirely
 on CPU in scipy; here the KNN is a tiled MXU computation and the CG iterates
 on-device over the static edge structure.
+
+Three execution modes for the CG matvec (measured on TPU v5e at n=60k,
+k=50, l=10 — benchmarks/probe_spmm_variants.py):
+
+  * ``mode='sorted'`` (default) — single jit; the in-edge half is applied as
+    a segment-sum over edges pre-sorted by destination (sorted once per
+    graph, reused every CG iteration).  ~1.5x the scatter mode on TPU and
+    the only formulation with flat memory behavior at 60k+ nodes.
+  * ``mode='scatter'`` — the simplest single-jit path whose matvec
+    scatter-adds the in-edge half each iteration.  Kept as the numerics
+    oracle.
+  * ``mode='ell'`` — two jitted stages: (1) graph build, (2) solve over the
+    combined symmetric ELL structure (ops/graph.py).  Scatter-free, and the
+    layout used by the row-sharded multi-device solver — but on a single
+    TPU chip XLA materializes the (n, S, l) gather with the class dim
+    padded to 128 lanes, so it is memory-unsafe for very large graphs.
 """
 from __future__ import annotations
 
@@ -14,7 +30,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .graph import build_graph, edge_weights, sym_rowsum, sym_spmm
+from .graph import (build_graph, build_sym_ell, edge_weights, ell_cap,
+                    ell_rowsum, ell_spmm, max_in_degree, overflow_count,
+                    sym_rowsum, sym_spmm)
 from .solve import stable_conjgrad
 
 __all__ = ["one_hot_encode", "transductive_laplace"]
@@ -25,9 +43,77 @@ def one_hot_encode(labels: jax.Array, n_classes: int) -> jax.Array:
     return jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _build(x, knn_num: int, epsilon, knn_block: int):
+    return build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+
+
+def _jacobi_cg(matvec, deg, y, tau, k_lab):
+    """Shared solve tail: Pred = M cg(M Luu M, M (W_ul Y)) on unlabeled rows,
+    M = diag(Luu)^(-1/2) (reference utils.py:584-592)."""
+    n = deg.shape[0]
+    m = n - k_lab
+    l = y.shape[1]
+    y_full = jnp.concatenate([y, jnp.zeros((m, l), y.dtype)], axis=0)
+    rhs = matvec(y_full)[k_lab:]                  # -Lul @ Y
+
+    diag = deg[k_lab:] + jnp.asarray(tau, deg.dtype)
+    mscale = 1.0 / jnp.sqrt(diag + 1e-10)
+
+    def mv(p):
+        p = mscale[:, None] * p
+        p_full = jnp.pad(p, ((k_lab, 0), (0, 0)))
+        wp = matvec(p_full)[k_lab:]
+        return mscale[:, None] * (diag[:, None] * p - wp)
+
+    z = stable_conjgrad(mv, mscale[:, None] * rhs)
+    return mscale[:, None] * z
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _solve_ell(g, y, cap: int, ovf_cap: int, tau: float):
+    w, _ = edge_weights(g)
+    ell = build_sym_ell(g, w, cap, ovf_cap)
+    return _jacobi_cg(lambda p: ell_spmm(ell, p), ell_rowsum(ell), y, tau,
+                      y.shape[0])
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _transductive_scatter(x, y, knn_num: int, epsilon, tau: float,
+                          knn_block: int):
+    g = build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+    w, _ = edge_weights(g)
+    return _jacobi_cg(lambda p: sym_spmm(g, w, p), sym_rowsum(g, w), y, tau,
+                      y.shape[0])
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _transductive_sorted(x, y, knn_num: int, epsilon, tau: float,
+                         knn_block: int):
+    g = build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+    w, _ = edge_weights(g)
+    n, k = g.nbr.shape
+    coefw = g.coef * w
+    # one-time sort of the in-edges by destination row: every CG matvec then
+    # uses a sorted segment-sum (no colliding scatter-adds)
+    dst = g.nbr.reshape(-1)
+    order = jnp.argsort(dst)
+    dst_s = dst[order]
+    src_s = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)[order]
+    c_s = coefw.reshape(-1)[order]
+
+    def matvec(p):
+        out = jnp.einsum("nk,nkl->nl", coefw, p[g.nbr])      # out-edge half
+        contrib = c_s[:, None] * p[src_s]                    # in-edge half
+        return out + jax.ops.segment_sum(contrib, dst_s, num_segments=n,
+                                         indices_are_sorted=True)
+
+    return _jacobi_cg(matvec, sym_rowsum(g, w), y, tau, y.shape[0])
+
+
 def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
-                         tau: float = 1e-8, knn_block: int = 2048):
+                         tau: float = 1e-8, knn_block: int = 2048,
+                         mode: str = "sorted", ell_cap_limit: int = 512):
     """Full-dataset Laplace learning; labeled rows are 0..k_lab-1.
 
     x: (n, d) features; y: (k_lab, l) one-hot labels.  Returns (n - k_lab, l)
@@ -35,25 +121,20 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
     Luu + tau*I with Jacobi preconditioner M = diag^(-1/2) and
     ``Pred = M cg(M Luu M, -M Lul Y)``.
     """
-    n = x.shape[0]
-    k_lab, l = y.shape
-    m = n - k_lab
-
-    g = build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
-    w, _ = edge_weights(g)
-    deg = sym_rowsum(g, w)
-
-    y_full = jnp.concatenate([y, jnp.zeros((m, l), y.dtype)], axis=0)
-    rhs = sym_spmm(g, w, y_full)[k_lab:]          # -Lul @ Y
-
-    diag = deg[k_lab:] + jnp.asarray(tau, w.dtype)
-    mscale = 1.0 / jnp.sqrt(diag + 1e-10)
-
-    def mv(p):
-        p = mscale[:, None] * p
-        p_full = jnp.pad(p, ((k_lab, 0), (0, 0)))
-        wp = sym_spmm(g, w, p_full)[k_lab:]
-        return mscale[:, None] * (diag[:, None] * p - wp)
-
-    z = stable_conjgrad(mv, mscale[:, None] * rhs)
-    return mscale[:, None] * z
+    epsilon = epsilon if isinstance(epsilon, str) else float(epsilon)
+    if mode == "sorted":
+        return _transductive_sorted(x, y, knn_num, epsilon, float(tau),
+                                    knn_block)
+    if mode == "scatter":
+        return _transductive_scatter(x, y, knn_num, epsilon, float(tau),
+                                     knn_block)
+    if mode != "ell":
+        raise ValueError(f"unknown mode {mode!r}")
+    g = _build(x, knn_num, epsilon, knn_block)
+    # ELL width = bucketed max in-degree, bounded by ell_cap_limit; incoming
+    # edges of hub rows beyond the bound go to the COO overflow list (its
+    # static size is bucketed too, bounding retraces).
+    cap = min(ell_cap(int(max_in_degree(g))), ell_cap_limit)
+    ovf = int(overflow_count(g, cap))
+    ovf_cap = 0 if ovf == 0 else -(-ovf // 4096) * 4096
+    return _solve_ell(g, y, cap, ovf_cap, float(tau))

@@ -1,21 +1,23 @@
-"""Edge-partitioned graph parallelism: sharded SpMM + CG over a device mesh.
+"""Row-partitioned graph parallelism: sharded SpMM + CG over a device mesh.
 
 The reference has no distributed math at all (SURVEY.md §2.3); this module
 is the TPU-native scaling path for the large transductive graphs
-(utils.py:637-651, ~60k nodes, k=50, ~6M directed edges): nodes (and their
-outgoing KNN edges) are partitioned across the mesh's 'graph' axis, each
-device computes the contributions of ITS edges, and XLA collectives stitch
-rows back together:
+(utils.py:637-651, ~60k nodes, k=50, ~6M directed edges).
 
-  * out-edge half: purely local after an ``all_gather`` of the (n, l)
-    iterate (a few MB — rides ICI),
-  * in-edge half: each device scatter-adds its edges' contributions into a
-    full-length accumulator which is ``psum``-reduced.
+Layout: the symmetric union-edge matrix is first converted to its combined
+ELL form (ops/graph.py ``build_sym_ell``: per row, all out- AND in-edges as
+padded slot lists).  Rows — and therefore all slots that produce them —
+partition cleanly across the mesh's 'graph' axis, so a distributed matvec
+is:
+
+    all_gather the (n_loc, l) iterate over ICI  →  (n, l) replicated
+    gather + slot-reduce the LOCAL rows          (scatter-free, no psum of
+                                                  full-length buffers)
 
 The CG loop (stable_conjgrad semantics, reference GLL.py:247-276) runs
 inside ``shard_map``; its alpha/beta reductions are node-axis partial sums
-followed by psums, so every iterate stays sharded.  All shapes are static;
-node count is padded to a multiple of the axis size.
+followed by (l,)-sized psums, so every iterate stays sharded.  All shapes
+are static; node count is padded to a multiple of the axis size upstream.
 """
 from __future__ import annotations
 
@@ -23,17 +25,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.graph import BatchGraph
-from ..ops.knn import knn_tiled
+from ..ops.graph import (BatchGraph, build_sym_ell, edge_weights, ell_cap,
+                         max_in_degree)
 
 __all__ = ["sharded_laplace_solve", "sharded_transductive_laplace"]
 
 
 def _build_edges(x, knn_num, epsilon, block):
-    """Host-of-mesh graph build (tiled exact KNN) producing the static
-    (n, k) structure used by the sharded solver."""
+    """Graph build (tiled exact KNN — itself one big sharded matmul under
+    GSPMD) producing the static (n, k) structure used by the sharded solver."""
     import graphlearninglayer_tpu.ops.graph as graph_mod
 
     return graph_mod.build_graph(x, knn_num, epsilon, tiled=True, block=block)
@@ -42,68 +44,59 @@ def _build_edges(x, knn_num, epsilon, block):
 def sharded_laplace_solve(mesh: Mesh, g: BatchGraph, y: jax.Array,
                           tau: float, axis: str = "graph",
                           tol: float = 1e-10, max_iter: int = 10_000):
-    """Solve (Luu + tau I) P = W_ul Y with node/edge-sharded CG.
+    """Solve (Luu + tau I) P = W_ul Y with row-sharded ELL CG.
 
     g is the symmetrized KNN graph over n nodes (labeled rows first);
     y is (k_lab, l).  Returns (m, l) predictions, numerically matching the
     single-device Jacobi-preconditioned path (ops/transductive.py).
     n must be divisible by the mesh axis size (pad upstream).
     """
-    n, k = g.nbr.shape
+    n, _ = g.nbr.shape
     k_lab, l = y.shape
     nd = mesh.shape[axis]
     if n % nd:
         raise ValueError(f"node count {n} not divisible by axis size {nd}")
+    chunk = n // nd
 
-    eps_i = g.eps[:, None]
-    eps_j = g.eps[g.nbr]
-    inv = 1.0 / (eps_i * eps_j)
-    w_edge = jnp.exp(-4.0 * g.dist2 * inv) * g.coef  # coef folded in
-
-    labeled_mask = (jnp.arange(n) < k_lab).astype(w_edge.dtype)
-
-    def spmm_local(w_loc, nbr_loc, x_full, rows_loc):
-        """This shard's contribution to W @ x (full length, to be psummed):
-        out-edges accumulate into local rows, in-edges scatter into a
-        full-length buffer."""
-        out_rows = jnp.einsum("nk,nkl->nl", w_loc, x_full[nbr_loc])
-        contrib = (w_loc[:, :, None] * x_full[rows_loc][:, None, :])
-        scat = jnp.zeros((n, x_full.shape[1]), x_full.dtype)
-        scat = scat.at[nbr_loc.reshape(-1)].add(
-            contrib.reshape(-1, x_full.shape[1]))
-        full = scat.at[rows_loc].add(out_rows)
-        return full
+    w, _ = edge_weights(g)
+    cap = ell_cap(int(max_in_degree(g)))
+    ell = build_sym_ell(g, w, cap)
+    y_full = jnp.zeros((n, l), w.dtype).at[:k_lab].set(y)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(axis), P(None)),
-             out_specs=P(axis))
-    def solve(w_loc, nbr_loc, rows_loc, y_full):
-        # degree: full-length psum of this shard's row sums
-        ones = jnp.ones((n, 1), w_loc.dtype)
-        deg = jax.lax.psum(spmm_local(w_loc, nbr_loc, ones, rows_loc),
-                           axis)[:, 0]
-        diag = deg + jnp.asarray(tau, w_loc.dtype)
-        mscale = jnp.where(jnp.arange(n) >= k_lab,
-                           1.0 / jnp.sqrt(diag + 1e-10), 0.0)
+             in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+             out_specs=P(axis, None))
+    def solve(nbr_loc, val_loc, y_loc):
+        rows_loc = (jax.lax.axis_index(axis) * chunk
+                    + jnp.arange(chunk, dtype=jnp.int32))
+        deg_loc = jnp.sum(val_loc, axis=1)
+        diag_loc = deg_loc + jnp.asarray(tau, val_loc.dtype)
+        unlab = (rows_loc >= k_lab)
+        mscale = jnp.where(unlab, 1.0 / jnp.sqrt(diag_loc + 1e-10), 0.0)
 
-        # rhs = M * (W_ul @ Y) on unlabeled rows
-        y_pad = y_full * labeled_mask[:, None]
-        wy = jax.lax.psum(spmm_local(w_loc, nbr_loc, y_pad, rows_loc), axis)
-        b = mscale[:, None] * wy
+        def spmm(x_loc):
+            """Local rows of W @ x: gather from the all-gathered iterate."""
+            x_full = jax.lax.all_gather(x_loc, axis, tiled=True)
+            return jnp.einsum("ns,nsl->nl", val_loc, x_full[nbr_loc])
 
-        unlabeled = (jnp.arange(n) >= k_lab).astype(w_loc.dtype)[:, None]
+        # rhs = M (W_ul Y): y is zero on unlabeled rows, M zero on labeled
+        b = mscale[:, None] * spmm(y_loc)
 
-        def matvec(p):  # p: (n, l) replicated; zero on labeled rows
+        def matvec(p):
+            """M Luu M on the unlabeled block, zero on labeled rows."""
             q = mscale[:, None] * p
-            wq = jax.lax.psum(spmm_local(w_loc, nbr_loc, q, rows_loc), axis)
-            return (mscale * diag * mscale)[:, None] * p \
-                - (mscale[:, None] * wq * unlabeled)
+            wq = spmm(q)
+            return ((mscale * diag_loc * mscale)[:, None] * p
+                    - mscale[:, None] * wq * unlab[:, None].astype(p.dtype))
+
+        def gsum(v):  # global column sums: local partial + tiny psum
+            return jax.lax.psum(jnp.sum(v, axis=0), axis)
 
         # stable_conjgrad with masked per-column updates (GLL.py:247-276)
-        tol_a = jnp.asarray(tol, w_loc.dtype)
+        tol_a = jnp.asarray(tol, val_loc.dtype)
         x0 = jnp.zeros_like(b)
         r0 = b - matvec(x0)
-        rs0 = jnp.sum(r0 * r0, axis=0)
+        rs0 = gsum(r0 * r0)
 
         def cond(state):
             _, _, _, rs, err, i = state
@@ -112,12 +105,12 @@ def sharded_laplace_solve(mesh: Mesh, g: BatchGraph, y: jax.Array,
         def body(state):
             xk, r, p, rsold, _, i = state
             ap = matvec(p)
-            pap = jnp.sum(p * ap, axis=0)
+            pap = gsum(p * ap)
             live = rsold > tol_a * tol_a
             alpha = jnp.where(live, rsold / jnp.where(live, pap, 1.0), 0.0)
             xk = xk + alpha * p
             r = r - alpha * ap
-            rsnew = jnp.sum(r * r, axis=0)
+            rsnew = gsum(r * r)
             err = jnp.sqrt(jnp.max(rsnew))
             livenew = rsnew > tol_a * tol_a
             beta = jnp.where(livenew,
@@ -128,15 +121,9 @@ def sharded_laplace_solve(mesh: Mesh, g: BatchGraph, y: jax.Array,
         err0 = jnp.sqrt(jnp.max(rs0))
         z, *_ = jax.lax.while_loop(
             cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
-        pred_full = mscale[:, None] * z
-        # return this shard's slice of the full solution
-        me = jax.lax.axis_index(axis)
-        return jax.lax.dynamic_slice_in_dim(pred_full, me * (n // nd),
-                                            n // nd, axis=0)
+        return mscale[:, None] * z
 
-    rows = jnp.arange(n, dtype=jnp.int32)
-    y_full = jnp.zeros((n, l), w_edge.dtype).at[:k_lab].set(y)
-    pred_full = solve(w_edge, g.nbr, rows, y_full)
+    pred_full = solve(ell.nbr, ell.val, y_full)
     return pred_full[k_lab:]
 
 
@@ -146,16 +133,14 @@ def sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
                                  axis: str = "graph"):
     """Mesh-sharded equivalent of ops.transductive.transductive_laplace.
 
-    Graph build runs replicated (tiled exact KNN — itself one big sharded
-    matmul under GSPMD); the CG solve is edge-partitioned.  Node count is
-    padded to a multiple of the axis size with isolated dummy nodes.
+    Node count is padded to a multiple of the axis size with isolated dummy
+    nodes (far from all data and from each other, so their affinities
+    underflow to zero and they do not perturb the solution on real nodes).
     """
     n = x.shape[0]
     nd = mesh.shape[axis]
     pad = (-n) % nd
     if pad:
-        # far-away dummy nodes: isolated from the real graph and from the
-        # labeled set, so they do not perturb the solution on real nodes
         far = jnp.max(jnp.abs(x)) * 1e3 + 1e3
         fill = far * (1.0 + jnp.arange(pad, dtype=x.dtype)[:, None])
         x = jnp.concatenate(

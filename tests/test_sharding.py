@@ -35,6 +35,26 @@ def test_sharded_solve_matches_single_device(rng):
                                atol=1e-7)
 
 
+def test_transductive_ell_matches_scatter(rng):
+    # the scatter-free ELL mode (default) and the single-jit scatter mode
+    # must agree; also force the hub-overflow path with a tiny cap limit
+    n, d, k_lab, l = 180, 8, 30, 3
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    y = jnp.asarray(ref.one_hot(rng.integers(0, l, k_lab), l))
+    scatter = transductive_laplace(x, y, knn_num=9, epsilon="auto",
+                                   tau=1e-8, knn_block=64, mode="scatter")
+    for m in ("ell", "sorted"):
+        got = transductive_laplace(x, y, knn_num=9, epsilon="auto",
+                                   tau=1e-8, knn_block=64, mode=m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(scatter),
+                                   atol=1e-9, err_msg=m)
+    tiny_cap = transductive_laplace(x, y, knn_num=9, epsilon="auto",
+                                    tau=1e-8, knn_block=64, mode="ell",
+                                    ell_cap_limit=2)
+    np.testing.assert_allclose(np.asarray(tiny_cap), np.asarray(scatter),
+                               atol=1e-9)
+
+
 def test_sharded_solve_with_padding(rng):
     # n = 203 not divisible by 8 -> dummy-node padding path
     n, d, k_lab, l = 203, 6, 24, 3
