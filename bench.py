@@ -26,12 +26,13 @@ def bench_tpu(x_np, y_np, gbar_np, iters=64):
 
     y = jnp.asarray(y_np)
     gbar = jnp.asarray(gbar_np)
-    # distinct inputs per iteration: execution infrastructure may replay
-    # cached results for identical (program, input) pairs, which would make
-    # a same-input timing loop meaningless
-    rng = np.random.default_rng(1)
+    # EVERY timed call gets a never-before-seen input: the execution
+    # infrastructure replays cached results for (program, input) pairs it
+    # has seen in any previous run, so repeated or fixed-seed inputs would
+    # time the cache instead of the TPU
+    rng = np.random.default_rng(time.time_ns())
     xs = [jnp.asarray(x_np + 1e-3 * rng.normal(size=x_np.shape)
-                      .astype(np.float32)) for _ in range(8)]
+                      .astype(np.float32)) for _ in range(iters + 1)]
 
     @jax.jit
     def fwd_bwd(x):
@@ -40,13 +41,14 @@ def bench_tpu(x_np, y_np, gbar_np, iters=64):
                                             k=25) * gbar)
         return jax.value_and_grad(loss)(x)
 
-    # compile + warmup
-    val, grad = fwd_bwd(xs[0])
-    jax.block_until_ready(grad)
+    # compile + warmup; np.asarray (device->host copy) is the sync point —
+    # the relay's block_until_ready can return before execution finishes
+    val, grad = fwd_bwd(xs[-1])
+    _ = np.asarray(grad)
     t0 = time.perf_counter()
     for i in range(iters):
-        val, grad = fwd_bwd(xs[i % len(xs)])
-    jax.block_until_ready(grad)
+        val, grad = fwd_bwd(xs[i])
+    _ = np.asarray(grad)
     dt = (time.perf_counter() - t0) / iters
     return dt
 

@@ -50,9 +50,12 @@ def knn(x: jax.Array, k: int, d2: jax.Array | None = None,
     avoid recomputing it (the dense op path reuses one).
 
     ``method``: 'approx' (default) selects via ``lax.approx_min_k`` with
-    ``recall_target=1.0`` — on TPU this lowers to the hardware PartialReduce
-    path and is several times faster than the sort-based TopK while still
-    returning the exact k minima; 'sort' forces ``lax.top_k``.
+    ``recall_target=1.0`` — still exact, and faster than the sort-based
+    TopK at the per-batch row widths (n <= a few thousand) this dense path
+    serves; 'sort' forces ``lax.top_k``.  At transductive row widths the
+    ranking inverts hard (60k-wide rows: approx_min_k(1.0) 4.8s vs top_k
+    1.0s — benchmarks/probe_knn_topk.py), which is why :func:`knn_tiled`
+    uses ``lax.top_k``.
     """
     n = x.shape[0]
     if d2 is None:
@@ -74,6 +77,14 @@ def knn_tiled(x: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.A
 
     Processes ``block`` query rows at a time against all of ``x`` via
     ``lax.map``; peak distance-buffer memory is block*n instead of n*n.
+
+    Selection is exact ``lax.top_k``: at these row widths it is ~5x faster
+    than ``approx_min_k(recall_target=1.0)`` (which degrades to a far worse
+    schedule on wide rows — measured at 60k x 60k, k=50:
+    top_k 0.96s vs approx_min_k(1.0) 4.8s; benchmarks/probe_knn_topk.py).
+    The distance panel itself costs only ~36ms of that — selection is the
+    known remaining gap to speed-of-light (a fused Pallas
+    distance+running-top-k kernel is the planned fix).
     """
     n, d = x.shape
     pad = (-n) % block
@@ -91,8 +102,8 @@ def knn_tiled(x: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.A
         d2 = jnp.maximum(qq[:, None] + xx_all[None, :] - 2.0 * cross, 0.0)
         is_self = rows[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
         d2 = jnp.where(is_self, -1.0, d2)
-        dist, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
-        return idx.astype(jnp.int32), jnp.maximum(dist, 0.0)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
 
     idx, dist2 = jax.lax.map(one_block, (xq.reshape(nblocks, block, d), row_ids))
     idx = idx.reshape(-1, k)[:n]

@@ -48,13 +48,14 @@ def cholesky_solve(a: jax.Array, b: jax.Array) -> jax.Array:
     return cholesky_factor(a).solve(b)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 5))
 def stable_conjgrad(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,
     x0: jax.Array | None = None,
     max_iter: int = 100_000,
     tol: float = 1e-10,
+    return_info: bool = False,
 ) -> jax.Array:
     """Column-masked multi-RHS conjugate gradient.
 
@@ -94,7 +95,9 @@ def stable_conjgrad(
         return x, r, p, rsnew, err, i + 1
 
     err0 = jnp.sqrt(jnp.max(rs0))
-    x, _, _, _, _, _ = jax.lax.while_loop(
+    x, _, _, _, err, iters = jax.lax.while_loop(
         cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32))
     )
+    if return_info:
+        return x, iters, err
     return x

@@ -10,6 +10,12 @@ on-device over the static edge structure.
 Three execution modes for the CG matvec (measured on TPU v5e at n=60k,
 k=50, l=10 — benchmarks/probe_spmm_variants.py):
 
+  * ``mode='bsr'`` — cluster-reorder the nodes (on-device k-means), densify
+    the symmetric matrix into dense (B x B) tiles, and run every CG matvec
+    as a batched MXU matmul over the nonzero tiles (ops/bsr.py).  The
+    fastest path for cluster-structured features (i.e. real embeddings);
+    falls back to 'sorted' automatically when the data has no block
+    structure (tile budget exceeded) or the graph is small.
   * ``mode='sorted'`` (default) — single jit; the in-edge half is applied as
     a segment-sum over edges pre-sorted by destination (sorted once per
     graph, reused every CG iteration).  ~1.5x the scatter mode on TPU and
@@ -29,7 +35,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from .bsr import bsr_plan, bsr_spmm, bsr_stats, build_bsr_mat
 from .graph import (build_graph, build_sym_ell, edge_weights, ell_cap,
                     ell_rowsum, ell_spmm, max_in_degree, overflow_count,
                     sym_rowsum, sym_spmm)
@@ -111,9 +119,61 @@ def _transductive_sorted(x, y, knn_num: int, epsilon, tau: float,
     return _jacobi_cg(matvec, sym_rowsum(g, w), y, tau, y.shape[0])
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _solve_bsr(plan, y, block: int, smax: int, ovf_cap: int, tau: float):
+    gp = plan.gp
+    k_lab = y.shape[0]
+    w, _ = edge_weights(gp)
+    mat = build_bsr_mat(plan, w, block, smax, ovf_cap)
+    deg = sym_rowsum(gp, w)
+    y_perm = y[plan.perm[:k_lab]]
+    out = _jacobi_cg(lambda p: bsr_spmm(mat, p, gp.n), deg, y_perm, tau,
+                     k_lab)
+    # back to original (unlabeled) row order
+    return out[plan.inv[k_lab:] - k_lab]
+
+
+def _transductive_bsr(x, y, knn_num: int, epsilon, tau: float,
+                      knn_block: int, block: int, max_tile_bytes: int):
+    """Two-stage BSR path: plan (reorder + block discovery) -> dense-tile CG.
+
+    The slot budget ``smax`` keeps each block-row's densest tiles within
+    ``max_tile_bytes``; leftover edges ride the COO overflow.  Returns None
+    when the structure is hopeless (overflow majority even at full budget —
+    data without cluster structure) — caller falls back to 'sorted'.
+    """
+    n = x.shape[0]
+    if n < 4 * block:
+        return None
+    g = _build(x, knn_num, epsilon, knn_block)
+    n_clusters = max(8, min(512, n // 1024))
+    plan = bsr_plan(x, g, y.shape[0], n_clusters, block)
+    r_blk = -(-n // block)
+
+    hist = np.asarray(jax.device_get(bsr_stats(plan, block)), np.int64)
+    cum = np.cumsum(hist)
+    total = int(cum[-1])
+    # smallest slot budget covering 99% of edges (densest tiles first),
+    # with ~20% headroom then bucketed to 16 so that run-to-run jitter in
+    # the data does not flip the static shape (a recompile costs far more
+    # than the extra zero tiles); capped by the tile-memory budget
+    smax = int(np.searchsorted(cum, 0.99 * total) + 1)
+    smax = -(-(smax + max(smax // 8, 4)) // 16) * 16
+    budget = max_tile_bytes // (r_blk * block * block * x.dtype.itemsize)
+    smax = min(smax, max(int(budget) // 8 * 8, 8), len(hist))
+    ovf = total - int(cum[smax - 1])
+    if ovf > 0.25 * total:                         # no block structure
+        return None
+    # same headroom logic for the static overflow budget
+    ovf_cap = 0 if ovf == 0 else -(-(ovf + max(ovf // 4, 2048)) // 16384) * 16384
+    return _solve_bsr(plan, y, block, smax, ovf_cap, float(tau))
+
+
 def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, knn_block: int = 2048,
-                         mode: str = "sorted", ell_cap_limit: int = 512):
+                         mode: str = "sorted", ell_cap_limit: int = 512,
+                         bsr_block: int = 256,
+                         bsr_max_tile_bytes: int = 8 << 30):
     """Full-dataset Laplace learning; labeled rows are 0..k_lab-1.
 
     x: (n, d) features; y: (k_lab, l) one-hot labels.  Returns (n - k_lab, l)
@@ -122,6 +182,12 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
     ``Pred = M cg(M Luu M, -M Lul Y)``.
     """
     epsilon = epsilon if isinstance(epsilon, str) else float(epsilon)
+    if mode == "bsr":
+        out = _transductive_bsr(x, y, knn_num, epsilon, float(tau), knn_block,
+                                bsr_block, bsr_max_tile_bytes)
+        if out is not None:
+            return out
+        mode = "sorted"                            # graph too dense to tile
     if mode == "sorted":
         return _transductive_sorted(x, y, knn_num, epsilon, float(tau),
                                     knn_block)

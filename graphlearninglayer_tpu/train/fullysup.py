@@ -26,6 +26,7 @@ from ..evalx import test_gl_transductive, test_network
 from ..models import BuildNet
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.meters import AverageMeter, FileLogger, Throughput
+from ..utils.profiling import trace_steps
 from .optim import make_lr_schedule, make_optimizer
 from .trainer import (create_train_state, make_gl_train_step,
                       make_mlp_train_step)
@@ -169,39 +170,44 @@ def run_training(opt) -> dict:
     # epoch-0 eval (FullySup.py:255)
     records["test_acc"].append(evaluate())
 
+    # device trace of one full epoch: GLL_PROFILE_DIR=/path GLL_PROFILE_EPOCH=2
+    profile_dir = os.environ.get("GLL_PROFILE_DIR")
+    profile_epoch = int(os.environ.get("GLL_PROFILE_EPOCH", "1"))
+
     for epoch in range(start_epoch + 1, opt.epochs + 1):
         t_epoch = time.time()
         losses, accs = AverageMeter(), AverageMeter()
         batch_time, data_time = AverageMeter(), AverageMeter()
         tput = Throughput(edges_per_step)
         end = time.time()
-        for idx, (indices, images, labels) in enumerate(loader):
-            data_time.update(time.time() - end)
-            base_x, base_y = loader.full_batch(base_imgs, base_labels)
-            if opt.sup_train_type == "gl":
-                state, metrics, scores = gl_step(
-                    state, jnp.asarray(base_x), jnp.asarray(base_y),
-                    jnp.asarray(images), jnp.asarray(labels),
-                    jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
-                if (epoch % opt.gl_update_base_epochs == 0
-                        and opt.gl_update_base_mode == "score"):
-                    ds.update_scores(indices, np.asarray(scores))
-            else:
-                state, metrics = mlp_step(
-                    state, jnp.asarray(images), jnp.asarray(labels),
-                    jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
-            losses.update(float(metrics["loss"]), len(labels))
-            accs.update(float(metrics["acc"]), len(labels))
-            tput.step()
-            batch_time.update(time.time() - end)
-            end = time.time()
-            if (idx + 1) % opt.print_freq_ss == 0:
-                print(f"Train: [{epoch}][{idx + 1}/{len(loader)}]\t"
-                      f"BT {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
-                      f"DT {data_time.val:.3f} ({data_time.avg:.3f})\t"
-                      f"loss {losses.val:.3f} ({losses.avg:.3f})\t"
-                      f"edges/s {tput.edges_per_s:.3e}")
-                sys.stdout.flush()
+        with trace_steps(profile_dir, enabled=epoch == profile_epoch):
+            for idx, (indices, images, labels) in enumerate(loader):
+                data_time.update(time.time() - end)
+                base_x, base_y = loader.full_batch(base_imgs, base_labels)
+                if opt.sup_train_type == "gl":
+                    state, metrics, scores = gl_step(
+                        state, jnp.asarray(base_x), jnp.asarray(base_y),
+                        jnp.asarray(images), jnp.asarray(labels),
+                        jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+                    if (epoch % opt.gl_update_base_epochs == 0
+                            and opt.gl_update_base_mode == "score"):
+                        ds.update_scores(indices, np.asarray(scores))
+                else:
+                    state, metrics = mlp_step(
+                        state, jnp.asarray(images), jnp.asarray(labels),
+                        jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+                losses.update(float(metrics["loss"]), len(labels))
+                accs.update(float(metrics["acc"]), len(labels))
+                tput.step()
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if (idx + 1) % opt.print_freq_ss == 0:
+                    print(f"Train: [{epoch}][{idx + 1}/{len(loader)}]\t"
+                          f"BT {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                          f"DT {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                          f"loss {losses.val:.3f} ({losses.avg:.3f})\t"
+                          f"edges/s {tput.edges_per_s:.3e}")
+                    sys.stdout.flush()
 
         records["loss"].append(losses.avg)
         records["train_acc"].append(accs.avg)
