@@ -82,9 +82,12 @@ def knn_tiled(x: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.A
     than ``approx_min_k(recall_target=1.0)`` (which degrades to a far worse
     schedule on wide rows — measured at 60k x 60k, k=50:
     top_k 0.96s vs approx_min_k(1.0) 4.8s; benchmarks/probe_knn_topk.py).
-    The distance panel itself costs only ~36ms of that — selection is the
-    known remaining gap to speed-of-light (a fused Pallas
-    distance+running-top-k kernel is the planned fix).
+    The distance panel itself costs only ~36ms of that — selection
+    dominates.  A fused Pallas distance+running-top-k kernel was built and
+    measured (ops/kernels/knn_topk.py): exact, but 1.4x SLOWER than this
+    path — in-kernel bitonic selection costs more VPU passes than XLA's
+    top_k at this n/k (see its docstring for the analysis); it stays
+    experimental and this function remains the production path.
     """
     n, d = x.shape
     pad = (-n) % block

@@ -10,13 +10,13 @@ on-device over the static edge structure.
 Three execution modes for the CG matvec (measured on TPU v5e at n=60k,
 k=50, l=10 — benchmarks/probe_spmm_variants.py):
 
-  * ``mode='bsr'`` — cluster-reorder the nodes (on-device k-means), densify
-    the symmetric matrix into dense (B x B) tiles, and run every CG matvec
-    as a batched MXU matmul over the nonzero tiles (ops/bsr.py).  The
-    fastest path for cluster-structured features (i.e. real embeddings);
-    falls back to 'sorted' automatically when the data has no block
-    structure (tile budget exceeded) or the graph is small.
-  * ``mode='sorted'`` (default) — single jit; the in-edge half is applied as
+  * ``mode='bsr'`` (default) — cluster-reorder the nodes (on-device
+    k-means), densify the symmetric matrix into dense (B x B) tiles, and
+    run every CG matvec as a batched MXU matmul over the nonzero tiles
+    (ops/bsr.py).  The fastest path for cluster-structured features (i.e.
+    real embeddings); falls back to 'sorted' automatically when the data
+    has no block structure (tile budget exceeded) or the graph is small.
+  * ``mode='sorted'`` — single jit; the in-edge half is applied as
     a segment-sum over edges pre-sorted by destination (sorted once per
     graph, reused every CG iteration).  ~1.5x the scatter mode on TPU and
     the only formulation with flat memory behavior at 60k+ nodes.
@@ -171,7 +171,7 @@ def _transductive_bsr(x, y, knn_num: int, epsilon, tau: float,
 
 def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, knn_block: int = 2048,
-                         mode: str = "sorted", ell_cap_limit: int = 512,
+                         mode: str = "bsr", ell_cap_limit: int = 512,
                          bsr_block: int = 256,
                          bsr_max_tile_bytes: int = 8 << 30):
     """Full-dataset Laplace learning; labeled rows are 0..k_lab-1.

@@ -31,8 +31,13 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
     if extra:
         payload["extra"] = extra
     with _ckpt(path) as mgr:
-        # force: re-saving the same epoch overwrites (orbax otherwise keeps
-        # the stale step silently)
+        # Re-saving an epoch must overwrite: force=True alone is not enough
+        # (orbax raises StepAlreadyExistsError even with force when the step
+        # directory survives from an earlier run of the same save_folder —
+        # run dirs are deterministically named from hyperparams, so re-runs
+        # hit this on their first checkpoint).
+        if epoch in mgr.all_steps():
+            mgr.delete(epoch)
         mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
         mgr.wait_until_finished()
 
