@@ -43,6 +43,10 @@ def parse_option(argv=None):
                         choices=["Sup_and_SS", "Sup_only", "SS_only"])
     parser.add_argument("--train_prefix", type=str, default="")
     parser.add_argument("--no_softmax", action="store_true")
+    # TPU-native extension: run the encoder in bfloat16 on the MXU
+    # (parameters and the head/normalize/graph math stay float32)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 encoder compute (TPU MXU fast path)")
     parser.add_argument("--start_epochs", type=int, default=0)
 
     # optimization

@@ -8,39 +8,49 @@ unit-norm features, the MLP path consumes ``pred``.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from . import resnet as _resnet
 from . import wrn as _wrn
 from .cnn import CifarCNN, l2_normalize
 
-# name -> (encoder constructor, feature dim) — mirrors BuildNet.py:39-47.
-model_dict: dict[str, tuple[Callable[[], nn.Module], int]] = {
+# name -> (encoder constructor (dtype kwarg = compute dtype), feature dim)
+# — mirrors BuildNet.py:39-47.
+model_dict: dict[str, tuple[Callable[..., nn.Module], int]] = {
     "resnet18": (_resnet.resnet18, 512),
     "resnet34": (_resnet.resnet34, 512),
     "resnet50": (_resnet.resnet50, 2048),
     "resnet101": (_resnet.resnet101, 2048),
     "wrn-28-2": (_wrn.wrn_28_2, 128),
     "wrn-28-8": (_wrn.wrn_28_8, 512),
-    "cifarcnn": (lambda: CifarCNN(), 128),
+    "cifarcnn": (lambda dtype=jnp.float32: CifarCNN(dtype=dtype), 128),
 }
 
 
 class BuildNet(nn.Module):
-    """Encoder -> head -> aux classifier; returns (pred, unit features)."""
+    """Encoder -> head -> aux classifier; returns (pred, unit features).
+
+    ``dtype`` is the ENCODER compute dtype (bf16 = the MXU fast path;
+    parameters always stay float32).  The projection head, the aux
+    classifier and the L2 normalize always run in float32 — the graph op
+    consumes the normalized features and needs full-precision distances.
+    """
 
     name: str = "resnet18"
     head: str = "mlp"
     feat_dim: int = 128
     num_classes: int = 10
     softmax: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         model_fn, dim_in = model_dict[self.name]
-        feat = model_fn()(x, train)
+        feat = model_fn(dtype=self.dtype)(x, train)
+        feat = feat.astype(jnp.float32)
 
         if self.head == "linear":
             feat = nn.Dense(self.feat_dim, name="head_0")(feat)

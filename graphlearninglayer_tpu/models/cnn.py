@@ -13,6 +13,8 @@ All use NHWC layout.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -28,22 +30,33 @@ def l2_normalize(x, axis=-1, eps=1e-12):
 
 
 class CustomCNN(nn.Module):
-    """28x28x1 input -> (softmax probs over 10 classes, 128-d unit features)."""
+    """28x28x1 input -> (softmax probs over 10 classes, 128-d unit features).
+
+    ``dtype``: compute dtype for the conv/dense stack (bf16 for the MXU
+    fast path); the feature tap and the class probabilities are cast back
+    to float32 before normalize/softmax so downstream graph math keeps
+    full precision."""
 
     num_classes: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.relu(nn.Conv(64, (3, 3), padding=1)(x))
-        x = nn.relu(nn.Conv(128, (3, 3), padding=1)(x))
+        x = x.astype(self.dtype)
+        x = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype)(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.relu(nn.Conv(256, (3, 3), padding=1)(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype)(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)  # 7*7*256
-        feat = nn.leaky_relu(nn.Dense(128)(x), negative_slope=0.01)
-        x = nn.leaky_relu(nn.Dense(1024)(feat), negative_slope=0.01)
-        x = nn.leaky_relu(nn.Dense(self.num_classes)(x), negative_slope=0.01)
-        return nn.softmax(x, axis=1), l2_normalize(feat)
+        feat = nn.leaky_relu(nn.Dense(128, dtype=self.dtype)(x),
+                             negative_slope=0.01)
+        x = nn.leaky_relu(nn.Dense(1024, dtype=self.dtype)(feat),
+                          negative_slope=0.01)
+        x = nn.leaky_relu(nn.Dense(self.num_classes, dtype=self.dtype)(x),
+                          negative_slope=0.01)
+        x = x.astype(jnp.float32)
+        return nn.softmax(x, axis=1), l2_normalize(feat.astype(jnp.float32))
 
 
 class _WNConv(nn.Module):
@@ -53,10 +66,12 @@ class _WNConv(nn.Module):
     features: int
     kernel: tuple
     padding: int = 0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(self.features, self.kernel, padding=self.padding)
+        conv = nn.Conv(self.features, self.kernel, padding=self.padding,
+                       dtype=self.dtype)
         return nn.WeightNorm(conv)(x)
 
 
@@ -65,26 +80,31 @@ class CifarCNN(nn.Module):
 
     num_classes: int = 10
     dropout_rate: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        x = x.astype(self.dtype)
         for features in (128, 128, 128):
-            x = act(norm()(_WNConv(features, (3, 3), padding=1)(x)))
+            x = act(norm()(_WNConv(features, (3, 3), padding=1,
+                                   dtype=self.dtype)(x)))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         for features in (256, 256, 256):
-            x = act(norm()(_WNConv(features, (3, 3), padding=1)(x)))
+            x = act(norm()(_WNConv(features, (3, 3), padding=1,
+                                   dtype=self.dtype)(x)))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = act(norm()(_WNConv(512, (3, 3), padding=0)(x)))
-        x = act(norm()(_WNConv(256, (1, 1))(x)))
-        x = act(norm()(_WNConv(128, (1, 1))(x)))
+        x = act(norm()(_WNConv(512, (3, 3), padding=0, dtype=self.dtype)(x)))
+        x = act(norm()(_WNConv(256, (1, 1), dtype=self.dtype)(x)))
+        x = act(norm()(_WNConv(128, (1, 1), dtype=self.dtype)(x)))
         x = nn.avg_pool(x, (6, 6), strides=(2, 2))
         x = x.reshape(x.shape[0], 128)
-        return l2_normalize(x)
+        return l2_normalize(x.astype(jnp.float32))
 
 
 class _SmallCNNTrunk(nn.Module):

@@ -10,7 +10,7 @@ Equivalent of the reference's two PreActResNet variants:
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,21 +22,24 @@ class PreActBlock(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
         out = nn.relu(norm()(x))
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             shortcut = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=self.stride, use_bias=False)(out)
+                               strides=self.stride, use_bias=False,
+                               dtype=self.dtype)(out)
         else:
             shortcut = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False)(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1,
-                      use_bias=False)(nn.relu(norm()(out)))
+                      use_bias=False, dtype=self.dtype)(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(nn.relu(norm()(out)))
         return out + shortcut
 
 
@@ -44,37 +47,43 @@ class PreActBottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
         out = nn.relu(norm()(x))
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             shortcut = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=self.stride, use_bias=False)(out)
+                               strides=self.stride, use_bias=False,
+                               dtype=self.dtype)(out)
         else:
             shortcut = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False)(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False)(nn.relu(norm()(out)))
-        out = nn.Conv(self.planes * self.expansion, (1, 1),
-                      use_bias=False)(nn.relu(norm()(out)))
+                      use_bias=False, dtype=self.dtype)(nn.relu(norm()(out)))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype)(nn.relu(norm()(out)))
         return out + shortcut
 
 
 class _PreActTrunk(nn.Module):
     block: type
     stage_sizes: Sequence[int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = nn.Conv(64, (3, 3), padding=1, use_bias=False)(x)
+        out = nn.Conv(64, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(x.astype(self.dtype))
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.stage_sizes)):
             for i in range(blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                out = self.block(planes, stride)(out, train)
+                out = self.block(planes, stride, dtype=self.dtype)(out, train)
         return out
 
 
@@ -83,14 +92,17 @@ class PreActResNetFeat(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     feat_dim: int = 128
     num_classes: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = _PreActTrunk(self.block, self.stage_sizes)(x, train)
+        out = _PreActTrunk(self.block, self.stage_sizes,
+                           dtype=self.dtype)(x, train)
         out = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                   momentum=0.9, epsilon=1e-5)(out))
+                                   momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype)(out))
         out = nn.avg_pool(out, (4, 4), strides=(4, 4))
-        out = out.reshape(out.shape[0], -1)
+        out = out.reshape(out.shape[0], -1).astype(jnp.float32)
         feat = nn.Dense(self.feat_dim)(out)
         pred = nn.Dense(self.num_classes)(feat)
         return nn.log_softmax(pred, axis=1), l2_normalize(feat)
@@ -100,12 +112,14 @@ class PreActResNetPlain(nn.Module):
     block: type = PreActBlock
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     num_classes: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = _PreActTrunk(self.block, self.stage_sizes)(x, train)
+        out = _PreActTrunk(self.block, self.stage_sizes,
+                           dtype=self.dtype)(x, train)
         out = nn.avg_pool(out, (4, 4), strides=(4, 4))
-        out = out.reshape(out.shape[0], -1)
+        out = out.reshape(out.shape[0], -1).astype(jnp.float32)
         return nn.Dense(self.num_classes)(out), out
 
 

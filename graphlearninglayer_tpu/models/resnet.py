@@ -5,10 +5,17 @@ TPU-native equivalents of the reference backbones (networks/resnet.py:11-123):
 feature vectors (512-d for BasicBlock nets, 2048-d for Bottleneck nets).
 NHWC layout (TPU-preferred); BatchNorm with momentum 0.9 / eps 1e-5 matching
 torch defaults.
+
+``dtype`` is the compute dtype (flax mixed-precision convention): pass
+``jnp.bfloat16`` to run convs/matmuls on the MXU bf16 path while parameters
+(and BatchNorm statistics, which flax always accumulates in float32) stay
+float32.  The returned features are cast back to float32 by the callers
+that feed the graph op (models/buildnet.py) so graph construction keeps
+full precision.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -18,19 +25,23 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False)(x)
+                      use_bias=False, dtype=self.dtype)(x)
         out = nn.relu(norm()(out))
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False)(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(out)
         out = norm()(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             x = nn.Conv(self.planes * self.expansion, (1, 1),
-                        strides=self.stride, use_bias=False)(x)
+                        strides=self.stride, use_bias=False,
+                        dtype=self.dtype)(x)
             x = norm()(x)
         return nn.relu(out + x)
 
@@ -39,20 +50,25 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
-        out = nn.relu(norm()(nn.Conv(self.planes, (1, 1), use_bias=False)(x)))
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        out = nn.relu(norm()(nn.Conv(self.planes, (1, 1), use_bias=False,
+                                     dtype=self.dtype)(x)))
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False)(out)
+                      use_bias=False, dtype=self.dtype)(out)
         out = nn.relu(norm()(out))
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False)(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
         out = norm()(out)
         if self.stride != 1 or x.shape[-1] != self.planes * self.expansion:
             x = nn.Conv(self.planes * self.expansion, (1, 1),
-                        strides=self.stride, use_bias=False)(x)
+                        strides=self.stride, use_bias=False,
+                        dtype=self.dtype)(x)
             x = norm()(x)
         return nn.relu(out + x)
 
@@ -62,32 +78,36 @@ class ResNet(nn.Module):
 
     block: type
     stage_sizes: Sequence[int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = nn.Conv(64, (3, 3), padding=1, use_bias=False)(x)
+        x = x.astype(self.dtype)
+        out = nn.Conv(64, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(x)
         out = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                   momentum=0.9, epsilon=1e-5)(out))
+                                   momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype)(out))
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.stage_sizes)):
             for i in range(blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                out = self.block(planes, stride)(out, train)
+                out = self.block(planes, stride, dtype=self.dtype)(out, train)
         out = jnp.mean(out, axis=(1, 2))
         return out
 
 
-def resnet18():
-    return ResNet(BasicBlock, (2, 2, 2, 2))
+def resnet18(dtype=jnp.float32):
+    return ResNet(BasicBlock, (2, 2, 2, 2), dtype=dtype)
 
 
-def resnet34():
-    return ResNet(BasicBlock, (3, 4, 6, 3))
+def resnet34(dtype=jnp.float32):
+    return ResNet(BasicBlock, (3, 4, 6, 3), dtype=dtype)
 
 
-def resnet50():
-    return ResNet(Bottleneck, (3, 4, 6, 3))
+def resnet50(dtype=jnp.float32):
+    return ResNet(Bottleneck, (3, 4, 6, 3), dtype=dtype)
 
 
-def resnet101():
-    return ResNet(Bottleneck, (3, 4, 23, 3))
+def resnet101(dtype=jnp.float32):
+    return ResNet(Bottleneck, (3, 4, 23, 3), dtype=dtype)

@@ -6,6 +6,8 @@ pooled features (128-d for width 2, 512-d for width 8).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -14,18 +16,22 @@ class WideBasic(nn.Module):
     planes: int
     stride: int = 1
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)
-        out = nn.Conv(self.planes, (3, 3), padding=1)(nn.relu(norm()(x)))
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype)
+        out = nn.Conv(self.planes, (3, 3), padding=1,
+                      dtype=self.dtype)(nn.relu(norm()(x)))
         if self.dropout_rate > 0:
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
-                      padding=1)(nn.relu(norm()(out)))
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      dtype=self.dtype)(nn.relu(norm()(out)))
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride)(x)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        dtype=self.dtype)(x)
         return out + x
 
 
@@ -33,6 +39,7 @@ class WideResNet(nn.Module):
     depth: int = 28
     widen_factor: int = 2
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -40,20 +47,23 @@ class WideResNet(nn.Module):
         n = (self.depth - 4) // 6
         widths = (16 * self.widen_factor, 32 * self.widen_factor,
                   64 * self.widen_factor)
-        out = nn.Conv(16, (3, 3), padding=1)(x)
+        out = nn.Conv(16, (3, 3), padding=1,
+                      dtype=self.dtype)(x.astype(self.dtype))
         for stage, planes in enumerate(widths):
             for i in range(n):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                out = WideBasic(planes, stride, self.dropout_rate)(out, train)
+                out = WideBasic(planes, stride, self.dropout_rate,
+                                dtype=self.dtype)(out, train)
         out = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                   momentum=0.9, epsilon=1e-5)(out))
+                                   momentum=0.9, epsilon=1e-5,
+                                   dtype=self.dtype)(out))
         out = nn.avg_pool(out, (8, 8), strides=(8, 8))
         return out.reshape(out.shape[0], -1)
 
 
-def wrn_28_2():
-    return WideResNet(28, 2, 0.0)
+def wrn_28_2(dtype=jnp.float32):
+    return WideResNet(28, 2, 0.0, dtype=dtype)
 
 
-def wrn_28_8():
-    return WideResNet(28, 8, 0.0)
+def wrn_28_8(dtype=jnp.float32):
+    return WideResNet(28, 8, 0.0, dtype=dtype)

@@ -46,7 +46,9 @@ def run_comparison(opt) -> dict:
                          workers=opt.num_workers)
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim, num_classes=num_classes,
-                     softmax=not opt.no_softmax)
+                     softmax=not opt.no_softmax,
+                     dtype=jnp.bfloat16 if getattr(opt, "bf16", False)
+                     else jnp.float32)
     schedule = make_lr_schedule(opt.learning_rate, opt.epochs, len(loader),
                                 cosine=opt.cosine,
                                 lr_decay_rate=opt.lr_decay_rate,
@@ -93,10 +95,12 @@ def run_comparison(opt) -> dict:
             state, mlp_loss, gl_loss = step(
                 state, jnp.asarray(images), jnp.asarray(labels),
                 jax.random.PRNGKey(opt.seed + epoch * 10000 + i))
-            mlp_m.append(float(mlp_loss))
-            gl_m.append(float(gl_loss))
-        records["mlp_loss"].append(float(np.mean(mlp_m)))
-        records["gl_loss"].append(float(np.mean(gl_m)))
+            # keep device futures; syncing per step would serialize on the
+            # device->host round trip (benchmarks/probe_step_overhead.py)
+            mlp_m.append(mlp_loss)
+            gl_m.append(gl_loss)
+        records["mlp_loss"].append(float(np.mean([float(v) for v in mlp_m])))
+        records["gl_loss"].append(float(np.mean([float(v) for v in gl_m])))
         print(f"epoch {epoch}: mlp loss {records['mlp_loss'][-1]:.4f}  "
               f"gl loss {records['gl_loss'][-1]:.4f}  "
               f"({time.time() - t0:.1f}s)")

@@ -124,7 +124,9 @@ def run_training(opt) -> dict:
 
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim, num_classes=num_classes,
-                     softmax=not opt.no_softmax)
+                     softmax=not opt.no_softmax,
+                     dtype=jnp.bfloat16 if getattr(opt, "bf16", False)
+                     else jnp.float32)
     schedule = make_lr_schedule(
         opt.learning_rate, opt.epochs, len(loader), cosine=opt.cosine,
         lr_decay_rate=opt.lr_decay_rate, lr_decay_epochs=opt.lr_decay_epochs,
@@ -180,6 +182,21 @@ def run_training(opt) -> dict:
         batch_time, data_time = AverageMeter(), AverageMeter()
         tput = Throughput(edges_per_step)
         end = time.time()
+        # Metrics/scores come back as device futures; pulling them to host
+        # every step would serialize on the device->host round trip (the
+        # dominant per-step cost through the relay: ~340 ms synced vs
+        # ~170 ms pipelined at the reference shape —
+        # benchmarks/probe_step_overhead.py).  Defer the sync to print
+        # boundaries / epoch end so consecutive steps pipeline.
+        pending = []          # (metrics dict of device scalars, n_labels)
+        pending_scores = []   # (dataset indices, device scores)
+
+        def flush_metrics():
+            for m, n_lab in pending:
+                losses.update(float(m["loss"]), n_lab)
+                accs.update(float(m["acc"]), n_lab)
+            pending.clear()
+
         with trace_steps(profile_dir, enabled=epoch == profile_epoch):
             for idx, (indices, images, labels) in enumerate(loader):
                 data_time.update(time.time() - end)
@@ -191,23 +208,29 @@ def run_training(opt) -> dict:
                         jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
                     if (epoch % opt.gl_update_base_epochs == 0
                             and opt.gl_update_base_mode == "score"):
-                        ds.update_scores(indices, np.asarray(scores))
+                        pending_scores.append((indices, scores))
                 else:
                     state, metrics = mlp_step(
                         state, jnp.asarray(images), jnp.asarray(labels),
                         jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
-                losses.update(float(metrics["loss"]), len(labels))
-                accs.update(float(metrics["acc"]), len(labels))
+                pending.append((metrics, len(labels)))
                 tput.step()
                 batch_time.update(time.time() - end)
                 end = time.time()
                 if (idx + 1) % opt.print_freq_ss == 0:
+                    flush_metrics()
                     print(f"Train: [{epoch}][{idx + 1}/{len(loader)}]\t"
                           f"BT {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                           f"DT {data_time.val:.3f} ({data_time.avg:.3f})\t"
                           f"loss {losses.val:.3f} ({losses.avg:.3f})\t"
                           f"edges/s {tput.edges_per_s:.3e}")
                     sys.stdout.flush()
+                    end = time.time()
+
+        flush_metrics()
+        # score updates only feed the per-epoch base refresh below
+        for s_indices, s_scores in pending_scores:
+            ds.update_scores(s_indices, np.asarray(s_scores))
 
         records["loss"].append(losses.avg)
         records["train_acc"].append(accs.avg)

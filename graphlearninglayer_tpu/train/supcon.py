@@ -44,7 +44,9 @@ def run_supcon(opt, simclr: bool = False) -> dict:
                                 workers=opt.num_workers, n_views=2)
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim,
-                     num_classes=spec.num_classes)
+                     num_classes=spec.num_classes,
+                     dtype=jnp.bfloat16 if getattr(opt, "bf16", False)
+                     else jnp.float32)
     schedule = make_lr_schedule(opt.learning_rate, opt.epochs, len(loader),
                                 cosine=opt.cosine,
                                 lr_decay_rate=opt.lr_decay_rate,

@@ -72,3 +72,38 @@ def test_buildnet_batchstats_update():
     model = BuildNet(name="wrn-28-2", head="linear", feat_dim=32)
     (pred, feat) = _init_apply(model, (2, 32, 32, 3), train=True)
     assert pred.shape == (2, 10)
+
+
+def test_buildnet_bf16_mixed_precision():
+    """bf16 encoder compute (--bf16): params stay float32, features come
+    back float32 and unit-norm, and the direction agrees with the f32
+    model at bf16 tolerance (same init => same params tree)."""
+    kw = dict(name="resnet18", head="mlp", feat_dim=64, num_classes=10)
+    m32 = BuildNet(**kw)
+    m16 = BuildNet(**kw, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 32, 32, 3), jnp.float32)
+    v = m32.init({"params": rng, "dropout": rng}, x, train=False)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(v["params"]))
+    p32, f32_ = m32.apply(v, x, train=False)
+    p16, f16_ = m16.apply(v, x, train=False)  # same f32 params tree
+    assert f16_.dtype == jnp.float32 and p16.dtype == jnp.float32
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(f16_), axis=1), 1.0,
+                               atol=1e-5)
+    cos = (np.asarray(f16_) * np.asarray(f32_)).sum(1)
+    assert (cos > 0.98).all(), cos
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=0.05)
+
+
+@pytest.mark.parametrize("make,shape", [
+    (lambda: resnet18(dtype=jnp.bfloat16), (2, 32, 32, 3)),
+    (lambda: wrn_28_2(dtype=jnp.bfloat16), (2, 32, 32, 3)),
+    (lambda: CifarCNN(dtype=jnp.bfloat16), (2, 32, 32, 3)),
+    (lambda: CustomCNN(dtype=jnp.bfloat16), (2, 28, 28, 1)),
+    (lambda: preact_resnet18(dtype=jnp.bfloat16), (2, 32, 32, 3)),
+])
+def test_encoders_accept_bf16(make, shape):
+    out = _init_apply(make(), shape)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
