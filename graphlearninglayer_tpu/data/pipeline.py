@@ -12,6 +12,8 @@ float32 NHWC ready for device transfer.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
@@ -95,13 +97,18 @@ class BatchLoader:
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, transform: Transform,
                  shuffle: bool = True, seed: int = 0, workers: int = 8,
-                 backend: str = "auto"):
+                 backend: str = "auto", prefetch: int = 1):
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
         self.transform = transform
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        # separate stream for full_batch(): it is called from the training
+        # loop while the prefetch producer thread draws from self.rng —
+        # np.random.Generator is not thread-safe, and two independent
+        # streams keep both deterministic
+        self.rng_full = np.random.default_rng((seed + 1) * 0x9E3779B9)
         self.pool = ThreadPoolExecutor(workers) if workers > 0 else None
         # 'native' = multithreaded C++ ops (data/native.py, per-op bit-exact
         # with PIL); 'pil' = the Python/PIL path; 'auto' picks native when
@@ -113,22 +120,28 @@ class BatchLoader:
         elif backend == "native" and not _native.native_available():
             raise RuntimeError("native augmentation backend unavailable")
         self.backend = backend
+        # batches prepared ahead by a background thread (0 = synchronous);
+        # one sequential producer keeps the augmentation RNG stream — and
+        # therefore every batch — identical to the synchronous loader
+        self.prefetch = prefetch
 
     def __len__(self):
         return len(self.labels) // self.batch_size
 
-    def _augment_batch(self, batch: np.ndarray) -> np.ndarray:
+    def _augment_batch(self, batch: np.ndarray,
+                       rng: np.random.Generator | None = None) -> np.ndarray:
+        rng = self.rng if rng is None else rng
         if self.transform.mode == "eval":
             return self.transform.normalize(batch)
         if self.backend == "native":
             t = self.transform
-            seeds = self.rng.integers(0, 2 ** 63, len(batch), dtype=np.uint64)
+            seeds = rng.integers(0, 2 ** 63, len(batch), dtype=np.uint64)
             out = _native.augment_batch_native(
                 batch, seeds, rand_n=t.rand.n, rotation=t.rotation,
                 flip=t.flip, pad=t.pad,
                 pad_reflect=(t.pad_mode == "reflect"))
             return _native.normalize_batch_native(out, t.mean, t.std)
-        seeds = self.rng.integers(0, 2 ** 31, len(batch))
+        seeds = rng.integers(0, 2 ** 31, len(batch))
 
         def one(args):
             img, s = args
@@ -140,17 +153,64 @@ class BatchLoader:
             out = [one(a) for a in zip(batch, seeds)]
         return self.transform.normalize(np.stack(out))
 
-    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    def _epoch_iter(self):
         order = (self.rng.permutation(len(self.labels)) if self.shuffle
                  else np.arange(len(self.labels)))
         for i in range(len(self)):
             idx = order[i * self.batch_size:(i + 1) * self.batch_size]
             yield idx, self._augment_batch(self.images[idx]), self.labels[idx]
 
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._epoch_iter()
+            return
+        yield from _prefetched(self._epoch_iter(), self.prefetch)
+
     def full_batch(self, images: np.ndarray, labels: np.ndarray):
         """Augment+normalize an explicit set (the base batch is re-augmented
-        each step like the reference's base_loader draw, FullySup.py:135)."""
-        return self._augment_batch(images), labels
+        each step like the reference's base_loader draw, FullySup.py:135).
+        Uses its own RNG stream — safe to call while the prefetch producer
+        thread is augmenting training batches."""
+        return self._augment_batch(images, rng=self.rng_full), labels
+
+
+def _prefetched(it, depth: int):
+    """Run ``it`` in a background thread, ``depth`` items ahead (the
+    torch-DataLoader-style overlap of host augmentation with device
+    compute).  One producer thread => item order and RNG stream are
+    identical to consuming ``it`` directly.  Closing the generator (or an
+    early ``break``) stops the producer promptly via the stop event."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def produce():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # propagate to the consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 class TwoCropBatchLoader(BatchLoader):
@@ -162,7 +222,7 @@ class TwoCropBatchLoader(BatchLoader):
         super().__init__(*args, **kwargs)
         self.n_views = n_views
 
-    def __iter__(self):
+    def _epoch_iter(self):
         order = (self.rng.permutation(len(self.labels)) if self.shuffle
                  else np.arange(len(self.labels)))
         for i in range(len(self)):

@@ -60,3 +60,37 @@ def test_batch_loader_eval_deterministic():
     a = [img for _, img, _ in loader]
     b = [img for _, img, _ in loader]
     np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_batchloader_prefetch_matches_synchronous():
+    """Background prefetch must yield the same batches in the same order as
+    the synchronous loader (one producer thread = same RNG stream)."""
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (64, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 64)
+    tf = Transform("synthetic", "weak")
+    mk = lambda pf: BatchLoader(images, labels, 16, tf, seed=7, workers=0,
+                                backend="pil", prefetch=pf)
+    sync_batches = list(mk(0))
+    pre_batches = list(mk(2))
+    assert len(sync_batches) == len(pre_batches) == 4
+    for (i0, x0, y0), (i1, x1, y1) in zip(sync_batches, pre_batches):
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(y0, y1)
+        np.testing.assert_allclose(x0, x1)
+
+
+def test_batchloader_prefetch_early_break():
+    """Abandoning iteration mid-epoch must not hang (stop event reaches the
+    producer)."""
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (64, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 64)
+    tf = Transform("synthetic", "weak")
+    loader = BatchLoader(images, labels, 16, tf, seed=7, workers=0,
+                         backend="pil", prefetch=2)
+    for n, _ in enumerate(loader):
+        if n == 1:
+            break
+    # a fresh epoch still works after the abandoned one
+    assert len(list(loader)) == 4
