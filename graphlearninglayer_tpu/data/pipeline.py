@@ -97,7 +97,8 @@ class BatchLoader:
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, transform: Transform,
                  shuffle: bool = True, seed: int = 0, workers: int = 8,
-                 backend: str = "auto", prefetch: int = 1):
+                 backend: str = "auto", prefetch: int = 1,
+                 emit: str = "normalized"):
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -124,6 +125,12 @@ class BatchLoader:
         # one sequential producer keeps the augmentation RNG stream — and
         # therefore every batch — identical to the synchronous loader
         self.prefetch = prefetch
+        # 'normalized' -> float32 (x/255 - mean)/std batches (host math);
+        # 'uint8' -> augmented raw uint8, for device-side normalization
+        # (4x smaller host->device transfers; trainer norm=(mean,std))
+        if emit not in ("normalized", "uint8"):
+            raise ValueError(f"unknown emit mode {emit!r}")
+        self.emit = emit
 
     def __len__(self):
         return len(self.labels) // self.batch_size
@@ -131,8 +138,9 @@ class BatchLoader:
     def _augment_batch(self, batch: np.ndarray,
                        rng: np.random.Generator | None = None) -> np.ndarray:
         rng = self.rng if rng is None else rng
+        raw = self.emit == "uint8"
         if self.transform.mode == "eval":
-            return self.transform.normalize(batch)
+            return batch if raw else self.transform.normalize(batch)
         if self.backend == "native":
             t = self.transform
             seeds = rng.integers(0, 2 ** 63, len(batch), dtype=np.uint64)
@@ -140,7 +148,8 @@ class BatchLoader:
                 batch, seeds, rand_n=t.rand.n, rotation=t.rotation,
                 flip=t.flip, pad=t.pad,
                 pad_reflect=(t.pad_mode == "reflect"))
-            return _native.normalize_batch_native(out, t.mean, t.std)
+            return out if raw else _native.normalize_batch_native(
+                out, t.mean, t.std)
         seeds = rng.integers(0, 2 ** 31, len(batch))
 
         def one(args):
@@ -151,7 +160,8 @@ class BatchLoader:
             out = list(self.pool.map(one, zip(batch, seeds)))
         else:
             out = [one(a) for a in zip(batch, seeds)]
-        return self.transform.normalize(np.stack(out))
+        out = np.stack(out)
+        return out if raw else self.transform.normalize(out)
 
     def _epoch_iter(self):
         order = (self.rng.permutation(len(self.labels)) if self.shuffle

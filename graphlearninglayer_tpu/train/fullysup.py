@@ -34,7 +34,8 @@ from .trainer import (create_train_state, make_gl_train_step,
 __all__ = ["main", "run_training", "pretrain_linear"]
 
 
-def pretrain_linear(model, state, loader, opt, num_classes: int):
+def pretrain_linear(model, state, loader, opt, num_classes: int,
+                    norm=None):
     """MLP-classifier-head pretraining with the rest of the network frozen
     and BN in inference mode (reference ``pretrain_linear``,
     FullySup.py:22-112).  Updates only the ``linear_*`` aux-classifier
@@ -54,13 +55,15 @@ def pretrain_linear(model, state, loader, opt, num_classes: int):
                   momentum=opt.momentum), mask)
     opt_state = tx.init(state.params)
 
+    from .trainer import _device_normalize
+
     @jax.jit
     def step(params, opt_state, batch_stats, images, labels):
         def loss_fn(p):
             # BN in eval mode: batch statistics frozen (FullySup.py:52-57)
             out = model.apply({"params": p, "batch_stats": batch_stats}
                               if batch_stats else {"params": p},
-                              images, train=False)
+                              _device_normalize(images, norm), train=False)
             pred, _ = out
             return _ce(pred, labels)
 
@@ -115,9 +118,13 @@ def run_training(opt) -> dict:
     eval_tf = Transform(sup_tf.dataset, "eval")
 
     ds = ScoredDataset(spec)
+    # uint8 batches + device-side normalization: the train-step transfer is
+    # 4x smaller (benchmarks/RESULTS.md), numerics unchanged (same f32
+    # formula, just on device)
     loader = BatchLoader(spec.train_images, spec.train_labels,
                          opt.batch_size, sup_tf, seed=opt.seed,
-                         workers=opt.num_workers)
+                         workers=opt.num_workers, emit="uint8")
+    step_norm = (sup_tf.mean, sup_tf.std)
     if len(loader) == 0:
         raise ValueError(
             f"batch_size {opt.batch_size} exceeds train set {len(ds)}")
@@ -149,13 +156,15 @@ def run_training(opt) -> dict:
     # (utils.py:651).
     # optional MLP-head pretraining (FullySup.py:224-249)
     if opt.sup_epochs > 0:
-        state = pretrain_linear(model, state, loader, opt, num_classes)
+        state = pretrain_linear(model, state, loader, opt, num_classes,
+                                norm=step_norm)
 
     gl_step = make_gl_train_step(model, tx, num_classes, tau=opt.temp,
                                  epsilon=opt.epsilon, k=opt.knn_k,
                                  solver=opt.gl_solver,
-                                 score_type=opt.gl_score_type)
-    mlp_step = make_mlp_train_step(model, tx)
+                                 score_type=opt.gl_score_type,
+                                 norm=step_norm)
+    mlp_step = make_mlp_train_step(model, tx, norm=step_norm)
 
     base_imgs, base_labels = ds.select_base(opt.num_train, "random", rng_np)
     records = {"loss": [], "train_acc": [], "test_acc": []}

@@ -60,6 +60,23 @@ def _apply(model, params, batch_stats, x, train: bool, rng=None):
     return out, batch_stats
 
 
+def _device_normalize(x, norm):
+    """uint8 NHWC batch -> normalized float32 on DEVICE.
+
+    Shipping uint8 and normalizing inside the jitted step cuts the
+    host->device transfer 4x; through the execution relay the f32 transfer
+    alone costs ~330 ms/step at the reference shape vs ~120 ms for uint8
+    (benchmarks/RESULTS.md).  ``norm=None`` expects already-normalized
+    float inputs (the legacy path).  Same formula as
+    data/augment.py::normalize_batch, in float32 either way."""
+    if norm is None:
+        return x
+    mean, std = norm
+    x = x.astype(jnp.float32) / 255.0
+    return ((x - jnp.asarray(mean, jnp.float32))
+            / jnp.asarray(std, jnp.float32))
+
+
 def _scores(pred, labels, score_type: str):
     """Per-sample uncertainty scores for base-set selection
     (FullySup.py:165-172): 'entropy' = per-sample CE, 'l2' = 1 - ||p||^2."""
@@ -74,14 +91,18 @@ def _scores(pred, labels, score_type: str):
 def make_gl_train_step(model, tx: optax.GradientTransformation,
                        num_classes: int, tau: float, epsilon="auto",
                        k: int = 25, solver: str = "cholesky",
-                       score_type: str = "entropy") -> Callable:
+                       score_type: str = "entropy", norm=None) -> Callable:
     """GL-branch step (FullySup.py:152-157): stack base on top of the batch,
-    encode, run the graph head with base labels, CE on batch labels."""
+    encode, run the graph head with base labels, CE on batch labels.
+
+    ``norm=(mean, std)``: accept uint8 batches and normalize on device
+    (see _device_normalize)."""
 
     @jax.jit
     def step(state: TrainState, base_images, base_labels, images, labels, rng):
-        x = jnp.concatenate([base_images, images], axis=0)
-        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+        x = jnp.concatenate([_device_normalize(base_images, norm),
+                             _device_normalize(images, norm)], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
 
         def loss_fn(params):
             (_, features), new_stats = _apply(model, params,
@@ -153,12 +174,15 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
                                        batch_sharding, None))
 
 
-def make_mlp_train_step(model, tx: optax.GradientTransformation) -> Callable:
+def make_mlp_train_step(model, tx: optax.GradientTransformation,
+                        norm=None) -> Callable:
     """MLP-branch step (FullySup.py:158-160): classifier head + custom CE on
-    its probability outputs."""
+    its probability outputs.  ``norm``: see make_gl_train_step."""
 
     @jax.jit
     def step(state: TrainState, images, labels, rng):
+        images = _device_normalize(images, norm)
+
         def loss_fn(params):
             (pred, _), new_stats = _apply(model, params, state.batch_stats,
                                           images, train=True, rng=rng)
