@@ -25,7 +25,7 @@ from ..models import BuildNet
 from ..ops import laplace_learning
 from ..train.losses import custom_ce_loss
 from .optim import make_lr_schedule, make_optimizer
-from .trainer import TrainState, _apply, create_train_state
+from .trainer import _device_normalize, TrainState, _apply, create_train_state
 
 __all__ = ["run_comparison", "main"]
 
@@ -43,7 +43,7 @@ def run_comparison(opt) -> dict:
     ds = ScoredDataset(spec)
     loader = BatchLoader(spec.train_images, spec.train_labels,
                          opt.batch_size, tf, seed=opt.seed,
-                         workers=opt.num_workers)
+                         workers=opt.num_workers, emit="uint8")
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim, num_classes=num_classes,
                      softmax=not opt.no_softmax,
@@ -63,8 +63,12 @@ def run_comparison(opt) -> dict:
     base_x = jnp.asarray(eval_tf.normalize(base_imgs))
     base_y = jnp.asarray(base_labels)
 
+    norm = (tf.mean, tf.std)
+
     @jax.jit
     def step(state: TrainState, images, labels, rng):
+        images = _device_normalize(images, norm)
+
         def loss_fn(params):
             (pred, _), new_stats = _apply(model, params, state.batch_stats,
                                           images, train=True, rng=rng)

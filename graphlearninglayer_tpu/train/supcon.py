@@ -27,7 +27,8 @@ from ..models import BuildNet
 from ..utils.checkpoint import save_checkpoint
 from .losses import sup_con_loss
 from .optim import make_lr_schedule, make_optimizer
-from .trainer import TrainState, _apply, create_train_state
+from .trainer import (TrainState, _apply, _device_normalize,
+                      create_train_state)
 
 __all__ = ["run_supcon", "main"]
 
@@ -41,7 +42,7 @@ def run_supcon(opt, simclr: bool = False) -> dict:
                    else "weak")
     loader = TwoCropBatchLoader(spec.train_images, spec.train_labels,
                                 opt.batch_size, tf, seed=opt.seed,
-                                workers=opt.num_workers, n_views=2)
+                                workers=opt.num_workers, n_views=2, emit="uint8")
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim,
                      num_classes=spec.num_classes,
@@ -57,10 +58,13 @@ def run_supcon(opt, simclr: bool = False) -> dict:
     state = create_train_state(model, tx, jax.random.PRNGKey(opt.seed),
                                jnp.zeros((1, *spec.image_shape), jnp.float32))
 
+    norm = (tf.mean, tf.std)
+
     @jax.jit
     def step(state: TrainState, views, labels, rng):
         bsz, n_views = views.shape[:2]
-        flat = views.reshape(bsz * n_views, *views.shape[2:])
+        flat = _device_normalize(
+            views.reshape(bsz * n_views, *views.shape[2:]), norm)
 
         def loss_fn(params):
             (_, feats), new_stats = _apply(model, params, state.batch_stats,
