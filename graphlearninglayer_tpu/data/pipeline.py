@@ -194,20 +194,24 @@ def _prefetched(it, depth: int):
     stop = threading.Event()
     _END, _ERR = object(), object()
 
+    def _put(item) -> bool:
+        """Stop-aware bounded put; False if the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put(item):
                     return
-            q.put(_END)
+            _put(_END)
         except BaseException as e:  # propagate to the consumer
-            q.put((_ERR, e))
+            _put((_ERR, e))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

@@ -9,9 +9,9 @@ torch defaults.
 ``dtype`` is the compute dtype (flax mixed-precision convention): pass
 ``jnp.bfloat16`` to run convs/matmuls on the MXU bf16 path while parameters
 (and BatchNorm statistics, which flax always accumulates in float32) stay
-float32.  The returned features are cast back to float32 by the callers
-that feed the graph op (models/buildnet.py) so graph construction keeps
-full precision.
+float32.  The returned pooled features are always float32 (cast at the
+pool) so direct users and the graph op see full precision regardless of
+compute dtype.
 """
 from __future__ import annotations
 
@@ -93,8 +93,10 @@ class ResNet(nn.Module):
             for i in range(blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 out = self.block(planes, stride, dtype=self.dtype)(out, train)
-        out = jnp.mean(out, axis=(1, 2))
-        return out
+        # pool in float32 and return float32 features regardless of compute
+        # dtype: the graph head consumes these directly, and every encoder in
+        # the package keeps full precision at its feature boundary
+        return jnp.mean(out.astype(jnp.float32), axis=(1, 2))
 
 
 def resnet18(dtype=jnp.float32):

@@ -57,7 +57,9 @@ class WideResNet(nn.Module):
         out = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=0.9, epsilon=1e-5,
                                    dtype=self.dtype)(out))
-        out = nn.avg_pool(out, (8, 8), strides=(8, 8))
+        # pool in float32 and return float32 features regardless of compute
+        # dtype (feature-boundary precision convention shared by all encoders)
+        out = nn.avg_pool(out.astype(jnp.float32), (8, 8), strides=(8, 8))
         return out.reshape(out.shape[0], -1)
 
 

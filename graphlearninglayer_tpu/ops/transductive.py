@@ -86,19 +86,15 @@ def _solve_ell(g, y, cap: int, ovf_cap: int, tau: float):
                       y.shape[0])
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _transductive_scatter(x, y, knn_num: int, epsilon, tau: float,
-                          knn_block: int):
-    g = build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+@partial(jax.jit, static_argnums=(2,))
+def _solve_scatter(g, y, tau: float):
     w, _ = edge_weights(g)
     return _jacobi_cg(lambda p: sym_spmm(g, w, p), sym_rowsum(g, w), y, tau,
                       y.shape[0])
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _transductive_sorted(x, y, knn_num: int, epsilon, tau: float,
-                         knn_block: int):
-    g = build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+@partial(jax.jit, static_argnums=(2,))
+def _solve_sorted(g, y, tau: float):
     w, _ = edge_weights(g)
     n, k = g.nbr.shape
     coefw = g.coef * w
@@ -133,22 +129,26 @@ def _solve_bsr(plan, y, block: int, smax: int, ovf_cap: int, tau: float):
     return out[plan.inv[k_lab:] - k_lab]
 
 
-def _transductive_bsr(x, y, knn_num: int, epsilon, tau: float,
-                      knn_block: int, block: int, max_tile_bytes: int):
+def _transductive_bsr(x, g, y, tau: float, block: int, max_tile_bytes: int):
     """Two-stage BSR path: plan (reorder + block discovery) -> dense-tile CG.
 
-    The slot budget ``smax`` keeps each block-row's densest tiles within
-    ``max_tile_bytes``; leftover edges ride the COO overflow.  Returns None
-    when the structure is hopeless (overflow majority even at full budget —
-    data without cluster structure) — caller falls back to 'sorted'.
+    ``g`` is the prebuilt KNN graph (shared with the 'sorted' fallback so a
+    failed BSR attempt does not pay the ~1s build twice at 60k nodes).  The
+    slot budget ``smax`` keeps each block-row's densest tiles within
+    ``max_tile_bytes`` (a hard cap: if even the 8-slot minimum exceeds it we
+    return None); leftover edges ride the COO overflow.  Returns None when
+    the structure is hopeless (overflow majority even at full budget — data
+    without cluster structure) — caller falls back to 'sorted'.
     """
     n = x.shape[0]
     if n < 4 * block:
         return None
-    g = _build(x, knn_num, epsilon, knn_block)
+    r_blk = -(-n // block)
+    budget = max_tile_bytes // (r_blk * block * block * x.dtype.itemsize)
+    if budget < 8:                                 # cannot honor the cap
+        return None
     n_clusters = max(8, min(512, n // 1024))
     plan = bsr_plan(x, g, y.shape[0], n_clusters, block)
-    r_blk = -(-n // block)
 
     hist = np.asarray(jax.device_get(bsr_stats(plan, block)), np.int64)
     cum = np.cumsum(hist)
@@ -159,8 +159,7 @@ def _transductive_bsr(x, y, knn_num: int, epsilon, tau: float,
     # than the extra zero tiles); capped by the tile-memory budget
     smax = int(np.searchsorted(cum, 0.99 * total) + 1)
     smax = -(-(smax + max(smax // 8, 4)) // 16) * 16
-    budget = max_tile_bytes // (r_blk * block * block * x.dtype.itemsize)
-    smax = min(smax, max(int(budget) // 8 * 8, 8), len(hist))
+    smax = min(smax, int(budget) // 8 * 8, len(hist))
     ovf = total - int(cum[smax - 1])
     if ovf > 0.25 * total:                         # no block structure
         return None
@@ -182,21 +181,19 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
     ``Pred = M cg(M Luu M, -M Lul Y)``.
     """
     epsilon = epsilon if isinstance(epsilon, str) else float(epsilon)
+    if mode not in ("bsr", "sorted", "scatter", "ell"):
+        raise ValueError(f"unknown mode {mode!r}")
+    g = _build(x, knn_num, epsilon, knn_block)
     if mode == "bsr":
-        out = _transductive_bsr(x, y, knn_num, epsilon, float(tau), knn_block,
-                                bsr_block, bsr_max_tile_bytes)
+        out = _transductive_bsr(x, g, y, float(tau), bsr_block,
+                                bsr_max_tile_bytes)
         if out is not None:
             return out
         mode = "sorted"                            # graph too dense to tile
     if mode == "sorted":
-        return _transductive_sorted(x, y, knn_num, epsilon, float(tau),
-                                    knn_block)
+        return _solve_sorted(g, y, float(tau))
     if mode == "scatter":
-        return _transductive_scatter(x, y, knn_num, epsilon, float(tau),
-                                     knn_block)
-    if mode != "ell":
-        raise ValueError(f"unknown mode {mode!r}")
-    g = _build(x, knn_num, epsilon, knn_block)
+        return _solve_scatter(g, y, float(tau))
     # ELL width = bucketed max in-degree, bounded by ell_cap_limit; incoming
     # edges of hub rows beyond the bound go to the COO overflow list (its
     # static size is bucketed too, bounding retraces).

@@ -8,6 +8,7 @@ reference's strict=False fallback), extra keys are ignored.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -30,16 +31,34 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
     }
     if extra:
         payload["extra"] = extra
-    with _ckpt(path) as mgr:
-        # Re-saving an epoch must overwrite: force=True alone is not enough
-        # (orbax raises StepAlreadyExistsError even with force when the step
-        # directory survives from an earlier run of the same save_folder —
-        # run dirs are deterministically named from hyperparams, so re-runs
-        # hit this on their first checkpoint).
-        if epoch in mgr.all_steps():
-            mgr.delete(epoch)
-        mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
-        mgr.wait_until_finished()
+    # Re-saving an epoch must overwrite: force=True alone is not enough
+    # (orbax raises StepAlreadyExistsError even with force when the step
+    # directory survives from an earlier run of the same save_folder — run
+    # dirs are deterministically named from hyperparams, so re-runs hit this
+    # on their first checkpoint).  Rename the old step dir aside instead of
+    # deleting it so a crash mid-save cannot lose the previous checkpoint
+    # (the reference's torch.save overwrite is atomic-rename-based); the
+    # aside copy is removed only after the new save completes.
+    step_dir = os.path.join(os.path.abspath(path), str(epoch))
+    aside = step_dir + ".replaced"
+    moved = False
+    if os.path.isdir(step_dir):
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        os.rename(step_dir, aside)
+        moved = True
+    try:
+        with _ckpt(path) as mgr:
+            if epoch in mgr.all_steps():   # non-default step-dir layout
+                mgr.delete(epoch)
+            mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
+            mgr.wait_until_finished()
+    except BaseException:
+        if moved and not os.path.isdir(step_dir):
+            os.rename(aside, step_dir)     # roll back to the old checkpoint
+        raise
+    if moved and os.path.isdir(aside):
+        shutil.rmtree(aside)
 
 
 def latest_step(path: str) -> int | None:
