@@ -65,7 +65,8 @@ def parse_option(argv=None):
     parser.add_argument("--model", type=str, default="resnet18")
     parser.add_argument("--dataset", type=str, default="cifar10",
                         choices=["cifar10", "cifar100", "mnist",
-                                 "fashion_mnist", "synthetic"])
+                                 "fashion_mnist", "miniimagenet",
+                                 "synthetic"])
     parser.add_argument("--ds_stepsize", type=int, default=1)
     parser.add_argument("--data_folder", type=str, default=None)
     parser.add_argument("--size", type=int, default=32)

@@ -137,7 +137,10 @@ class Transform:
             self.rand = RandAugment(1 if mode == "weak" else 2)
         self.rotation = (10 if mode == "weak" else 20) if grayscale else 0
         self.flip = not grayscale and mode != "eval"
-        self.pad = 4 if mode != "eval" else 0
+        # miniimagenet crops 84x84 with padding 8 (datasets_setting.py:168-169);
+        # the 32x32/28x28 datasets use padding 4
+        pad = 8 if dataset == "miniimagenet" else 4
+        self.pad = pad if mode != "eval" else 0
         self.pad_mode = "constant" if grayscale else "reflect"
 
     def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:

@@ -120,6 +120,93 @@ def _load_cifar(name: str) -> DatasetSpec | None:
     return DatasetSpec(name, tri, trl, tei, tel, n_cls)
 
 
+def _load_miniimagenet() -> DatasetSpec | None:
+    """mini-ImageNet, 84x84x3, 100 classes (reference registry entry
+    config/datasets_setting.py:162-201; datadir data-local/images/miniimagenet).
+
+    Three on-disk layouts are recognized, first hit wins:
+
+    1. ``miniimagenet.npz`` with train_images/train_labels/test_images/
+       test_labels arrays (uint8 NHWC / int labels) — the fast local cache.
+    2. The Ravi & Larochelle pickle caches ``mini-imagenet-cache-
+       {train,val,test}.pkl`` ({'image_data': (N,84,84,3) uint8,
+       'class_dict': {name: [row indices]}}).  The episodic splits hold
+       disjoint classes, so for the reference's 100-way classification use
+       all three are pooled and each class is split deterministically
+       (last 100 images per class -> test, rest -> train), matching the
+       500/100 per-class convention of the mean-teacher preparation the
+       reference's datadir points at.
+    3. An image-folder tree ``miniimagenet/{train,test|val}/<class>/*`` of
+       PNG/JPEG files (the mean-teacher data-local layout itself).
+    """
+    npz = _find(["miniimagenet.npz", "miniimagenet/miniimagenet.npz",
+                 "images/miniimagenet/miniimagenet.npz"])
+    if npz is not None:
+        with np.load(npz) as z:
+            return DatasetSpec("miniimagenet",
+                               z["train_images"],
+                               z["train_labels"].astype(np.int64),
+                               z["test_images"],
+                               z["test_labels"].astype(np.int64), 100)
+
+    caches = [_find([f"mini-imagenet-cache-{s}.pkl",
+                     f"miniimagenet/mini-imagenet-cache-{s}.pkl",
+                     f"images/miniimagenet/mini-imagenet-cache-{s}.pkl"])
+              for s in ("train", "val", "test")]
+    if all(p is not None for p in caches):
+        images, labels, next_label = [], [], 0
+        for p in caches:
+            with open(p, "rb") as f:
+                d = pickle.load(f)
+            data = np.asarray(d["image_data"], np.uint8)
+            for name in sorted(d["class_dict"]):
+                idx = np.asarray(d["class_dict"][name], np.int64)
+                images.append(data[idx])
+                labels.append(np.full(len(idx), next_label, np.int64))
+                next_label += 1
+        images, labels = np.concatenate(images), np.concatenate(labels)
+        tr_i, tr_l, te_i, te_l = [], [], [], []
+        for c in range(next_label):
+            rows = np.flatnonzero(labels == c)
+            n_test = max(1, min(100, len(rows) // 6))
+            tr_i.append(images[rows[:-n_test]])
+            tr_l.append(labels[rows[:-n_test]])
+            te_i.append(images[rows[-n_test:]])
+            te_l.append(labels[rows[-n_test:]])
+        return DatasetSpec("miniimagenet",
+                           np.concatenate(tr_i), np.concatenate(tr_l),
+                           np.concatenate(te_i), np.concatenate(te_l),
+                           next_label)
+
+    root = _find(["miniimagenet/train", "images/miniimagenet/train"])
+    if root is not None:
+        base = os.path.dirname(root)
+        test_dir = next((os.path.join(base, s) for s in ("test", "val")
+                         if os.path.isdir(os.path.join(base, s))), None)
+        if test_dir is None:
+            return None
+        import PIL.Image
+
+        def read_tree(d):
+            imgs, labels = [], []
+            classes = sorted(e for e in os.listdir(d)
+                             if os.path.isdir(os.path.join(d, e)))
+            for ci, cname in enumerate(classes):
+                cdir = os.path.join(d, cname)
+                for fn in sorted(os.listdir(cdir)):
+                    with PIL.Image.open(os.path.join(cdir, fn)) as im:
+                        arr = np.asarray(im.convert("RGB"), np.uint8)
+                    imgs.append(arr)
+                    labels.append(ci)
+            return np.stack(imgs), np.asarray(labels, np.int64)
+
+        tri, trl = read_tree(root)
+        tei, tel = read_tree(test_dir)
+        return DatasetSpec("miniimagenet", tri, trl, tei, tel,
+                           int(trl.max()) + 1)
+    return None
+
+
 def synthetic_dataset(num_classes: int = 10, image_shape=(28, 28, 1),
                       n_train: int = 4096, n_test: int = 1024,
                       seed: int = 0) -> DatasetSpec:
@@ -162,6 +249,7 @@ DATASETS = {
     "fashionmnist": lambda: _load_mnist_family("fashion_mnist"),
     "cifar10": lambda: _load_cifar("cifar10"),
     "cifar100": lambda: _load_cifar("cifar100"),
+    "miniimagenet": _load_miniimagenet,
     "synthetic": synthetic_dataset,
 }
 
@@ -182,8 +270,11 @@ def load_dataset(name: str, allow_synthetic_fallback: bool = False,
         raise FileNotFoundError(
             f"dataset {name!r} not found under $GLL_DATA_DIR / data-local; "
             "pass allow_synthetic_fallback=True for a synthetic stand-in")
-    shape = (32, 32, 3) if name.startswith("cifar") else (28, 28, 1)
-    n_cls = 100 if name == "cifar100" else 10
+    if name == "miniimagenet":
+        shape, n_cls = (84, 84, 3), 100
+    else:
+        shape = (32, 32, 3) if name.startswith("cifar") else (28, 28, 1)
+        n_cls = 100 if name == "cifar100" else 10
     spec = synthetic_dataset(n_cls, shape, **synth_kwargs)
     spec.name = name
     return spec

@@ -36,7 +36,7 @@ def run_comparison(opt) -> dict:
     num_classes = spec.num_classes
     tf = Transform(spec.name if spec.name in
                    ("mnist", "fashion_mnist", "cifar10", "cifar100",
-                    "synthetic") else "synthetic",
+                    "miniimagenet", "synthetic") else "synthetic",
                    "eval" if opt.augment_type_sup == "no"
                    else opt.augment_type_sup)
 

@@ -112,7 +112,7 @@ def run_training(opt) -> dict:
 
     sup_tf = Transform(spec.name if spec.name in
                        ("mnist", "fashion_mnist", "cifar10", "cifar100",
-                        "synthetic") else "synthetic",
+                        "miniimagenet", "synthetic") else "synthetic",
                        "eval" if opt.augment_type_sup == "no"
                        else opt.augment_type_sup)
     eval_tf = Transform(sup_tf.dataset, "eval")

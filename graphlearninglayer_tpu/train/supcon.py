@@ -37,7 +37,7 @@ def run_supcon(opt, simclr: bool = False) -> dict:
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True)
     tf = Transform(spec.name if spec.name in
                    ("mnist", "fashion_mnist", "cifar10", "cifar100",
-                    "synthetic") else "synthetic",
+                    "miniimagenet", "synthetic") else "synthetic",
                    opt.augment_type_ss if opt.augment_type_ss != "no"
                    else "weak")
     loader = TwoCropBatchLoader(spec.train_images, spec.train_labels,

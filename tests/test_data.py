@@ -94,3 +94,59 @@ def test_batchloader_prefetch_early_break():
             break
     # a fresh epoch still works after the abandoned one
     assert len(list(loader)) == 4
+
+
+def test_miniimagenet_npz_layout(tmp_path, monkeypatch):
+    from graphlearninglayer_tpu.data import load_dataset
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "miniimagenet.npz",
+             train_images=rng.integers(0, 256, (40, 84, 84, 3), np.uint8),
+             train_labels=np.repeat(np.arange(4), 10),
+             test_images=rng.integers(0, 256, (8, 84, 84, 3), np.uint8),
+             test_labels=np.repeat(np.arange(4), 2))
+    monkeypatch.setenv("GLL_DATA_DIR", str(tmp_path))
+    spec = load_dataset("miniimagenet")
+    assert spec.train_images.shape == (40, 84, 84, 3)
+    assert spec.num_classes == 100  # registry constant (datasets_setting.py:157)
+    assert spec.test_labels.dtype == np.int64
+
+
+def test_miniimagenet_pickle_cache_layout(tmp_path, monkeypatch):
+    import pickle
+    from graphlearninglayer_tpu.data import load_dataset
+    rng = np.random.default_rng(1)
+    # 3 episodic caches with disjoint classes, 12 images per class
+    for si, split in enumerate(("train", "val", "test")):
+        data = rng.integers(0, 256, (24, 84, 84, 3), np.uint8)
+        class_dict = {f"n{si}a": list(range(12)),
+                      f"n{si}b": list(range(12, 24))}
+        with open(tmp_path / f"mini-imagenet-cache-{split}.pkl", "wb") as f:
+            pickle.dump({"image_data": data, "class_dict": class_dict}, f)
+    monkeypatch.setenv("GLL_DATA_DIR", str(tmp_path))
+    spec = load_dataset("miniimagenet")
+    assert spec.num_classes == 6           # classes pooled across splits
+    assert spec.train_images.shape[1:] == (84, 84, 3)
+    # deterministic per-class split: 12 // 6 = 2 test images per class
+    assert len(spec.test_labels) == 12 and len(spec.train_labels) == 60
+    assert np.all(np.bincount(spec.test_labels) == 2)
+
+
+def test_miniimagenet_synthetic_fallback(tmp_path, monkeypatch):
+    from graphlearninglayer_tpu.data import load_dataset
+    monkeypatch.setenv("GLL_DATA_DIR", str(tmp_path))  # empty dir: no files
+    spec = load_dataset("miniimagenet", allow_synthetic_fallback=True,
+                        n_train=64, n_test=16)
+    assert spec.name == "miniimagenet"
+    assert spec.train_images.shape == (64, 84, 84, 3)
+    assert spec.num_classes == 100
+
+
+def test_miniimagenet_transform_geometry(rng):
+    tf = Transform("miniimagenet", "strong")
+    assert tf.pad == 8 and tf.pad_mode == "reflect"   # datasets_setting.py:168
+    assert tf.flip and tf.rotation == 0
+    img = rng.integers(0, 256, (84, 84, 3), np.uint8)
+    out = tf(img, np.random.default_rng(3))
+    assert out.shape == (84, 84, 3) and out.dtype == np.uint8
+    norm = tf.normalize(out[None])
+    assert norm.dtype == np.float32 and norm.shape == (1, 84, 84, 3)
