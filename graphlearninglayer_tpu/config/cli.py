@@ -134,6 +134,13 @@ def parse_option(argv=None):
 
     opt = parser.parse_args(argv)
 
+    # --dev cpu steers JAX off the TPU (reference cli.py:161-170 device
+    # setup).  Must run before the first computation; jax.config is the
+    # only switch that works after interpreter boot (env vars are too late).
+    if opt.dev == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     opt.epochs = opt.epochs + opt.start_epochs
     opt.class_uni_sample = not opt.class_rand_sample
 

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import transductive_laplace
-from ..train.trainer import TrainState, make_encode_step, make_gl_eval_step
+from ..train.trainer import (TrainState, make_encode_step, make_gl_eval_step,
+                             make_mlp_eval_step)
 
 __all__ = ["encode_dataset", "test_network", "test_gl_transductive"]
 
@@ -37,21 +38,47 @@ def encode_dataset(encode_step, state: TrainState, images: np.ndarray,
 def test_network(model, state: TrainState, base_images, base_labels,
                  test_images, test_labels, num_classes: int, tau: float,
                  epsilon="auto", k: int = 25, batch_size: int = 1250,
-                 solver: str = "cholesky") -> float:
-    """Per-batch network+GL-head accuracy (test_network, utils.py:596-634):
-    each test batch is classified against the single base batch."""
-    step = make_gl_eval_step(model, num_classes, tau, epsilon, k, solver)
+                 solver: str = "cholesky", normalize_fn=None,
+                 predictor: str = "GL") -> float:
+    """Per-batch network accuracy (test_network, utils.py:596-634).
+
+    predictor='GL': each test batch is classified by the network + graph
+    head against the single base batch (lap(features, Y, opt.temp), so pass
+    the driver's --temp as ``tau``).  predictor='MLP': the aux classifier
+    head alone (utils.py:621-624).  A tail batch shorter than ``batch_size``
+    is padded to the compiled shape (repeating its rows) and only the real
+    rows are scored — the reference instead runs a smaller final graph;
+    deviation noted in PARITY.md.
+    """
+    if predictor == "GL":
+        gl_step = make_gl_eval_step(model, num_classes, tau, epsilon, k,
+                                    solver)
+    elif predictor == "MLP":
+        mlp_step = make_mlp_eval_step(model)
+    else:
+        raise ValueError(predictor)
+    norm = normalize_fn if normalize_fn is not None else (lambda a: a)
+    if predictor == "GL":
+        base_x = jnp.asarray(norm(np.asarray(base_images)))
+        base_y = jnp.asarray(base_labels)
     correct = 0
-    count = 0
     n = len(test_images)
-    usable = (n // batch_size) * batch_size
-    for i in range(0, usable, batch_size):
-        pred = step(state, base_images, base_labels,
-                    jnp.asarray(test_images[i:i + batch_size]))
-        correct += int(np.sum(np.asarray(pred) ==
-                              test_labels[i:i + batch_size]))
-        count += batch_size
-    return 100.0 * correct / max(count, 1)
+    for i in range(0, n, batch_size):
+        chunk = test_images[i:i + batch_size]
+        real = len(chunk)
+        if real < batch_size:
+            chunk = chunk[np.arange(batch_size) % real]
+        x = jnp.asarray(norm(np.asarray(chunk)))
+        if predictor == "GL":
+            pred = gl_step(state, base_x, base_y, x)
+        else:
+            pred = mlp_step(state, x)
+        correct += int(np.sum(np.asarray(pred)[:real] ==
+                              test_labels[i:i + real]))
+    acc = 100.0 * correct / max(n, 1)
+    print(f"Test set: Accuracy for {predictor} predictor: {correct}/{n} "
+          f"({acc:.2f}%)\n")
+    return acc
 
 
 def test_gl_transductive(model, state: TrainState, base_images, base_labels,

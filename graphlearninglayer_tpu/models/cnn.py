@@ -128,7 +128,12 @@ class _SmallCNNTrunk(nn.Module):
 
 
 class SmallCNN(nn.Module):
-    """MLP-head variant: returns log-softmax class scores."""
+    """MLP-head variant: returns log-softmax class scores.
+
+    The final classifier linear is zero-initialized (weights AND bias),
+    matching the reference's nn.init.constant_(self.linear.{weight,bias}, 0)
+    (adversarial.py:305-306) — at epoch 0 the model outputs the uniform
+    distribution, which shapes early adversarial-training dynamics."""
 
     num_classes: int = 10
     dropout_rate: float = 0.5
@@ -137,7 +142,9 @@ class SmallCNN(nn.Module):
     def __call__(self, x, train: bool = True):
         x = _SmallCNNTrunk(self.dropout_rate)(x, train)
         x = nn.relu(x)
-        x = nn.Dense(self.num_classes)(x)
+        x = nn.Dense(self.num_classes,
+                     kernel_init=nn.initializers.zeros_init(),
+                     bias_init=nn.initializers.zeros_init())(x)
         return nn.log_softmax(x, axis=1)
 
 

@@ -54,7 +54,30 @@ from .graph import (BatchGraph, build_graph, dense_weight_matrix,
                     edge_weights, sym_rowsum, sym_spmm)
 from .solve import cholesky_factor, stable_conjgrad
 
-__all__ = ["LaplaceConfig", "laplace_learning"]
+__all__ = ["LaplaceConfig", "laplace_learning", "GRAD_NORM_WARN_THRESHOLD"]
+
+# Exploding-gradient guard in the op backward (reference
+# train_and_adversarial.py:177-183, threshold from the canonical commented
+# check GLL.py:161-165).  When ||dX||_F exceeds the threshold a warning is
+# printed from device via jax.debug.print.  Set to 0/None to disable
+# (read at trace time).
+GRAD_NORM_WARN_THRESHOLD: float | None = 10_000.0
+
+
+def _warn_exploding_grad(gx, gbar):
+    thresh = GRAD_NORM_WARN_THRESHOLD
+    if not thresh:
+        return gx
+    gnorm = jnp.linalg.norm(gbar)
+    onorm = jnp.linalg.norm(gx)
+
+    def warn(g):
+        jax.debug.print(
+            "possible exploding gradient\ngrad norm: {g}\nout norm: {o}",
+            g=gnorm, o=onorm)
+        return g
+
+    return jax.lax.cond(onorm > thresh, warn, lambda g: g, gx)
 
 
 class LaplaceConfig(NamedTuple):
@@ -195,7 +218,7 @@ def _laplace_bwd(cfg: LaplaceConfig, res, gbar):
     if cfg.mode == "dense":
         gx = dense_backward(g, y, pred, x, factor, gbar, cfg.auto_eps,
                             w=deg, use_pallas=cfg.use_pallas)
-        return gx, jnp.zeros_like(y)
+        return _warn_exploding_grad(gx, gbar), jnp.zeros_like(y)
     n, k = g.nbr.shape
     k_lab = y.shape[0]
     w, v = edge_weights(g)
@@ -239,7 +262,7 @@ def _laplace_bwd(cfg: LaplaceConfig, res, gbar):
         gx = gx + b[:, None] * xd
         gx = gx.at[kth].add(-b[:, None] * xd)
 
-    return gx, jnp.zeros_like(y)
+    return _warn_exploding_grad(gx, gbar), jnp.zeros_like(y)
 
 
 _laplace_op.defvjp(_laplace_fwd, _laplace_bwd)

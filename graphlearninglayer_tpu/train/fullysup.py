@@ -108,6 +108,18 @@ def _records_and_plots(save_folder, records):
 def run_training(opt) -> dict:
     rng_np = np.random.default_rng(opt.seed)
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True)
+    if getattr(opt, "ds_stepsize", 1) > 1:
+        # keep every stepsize-th sample of both splits (reference
+        # DSCustomDataset applied inside set_loader, utils.py:340-341)
+        import dataclasses
+
+        from ..data import downsample_by_stride
+        tri, trl = downsample_by_stride(spec.train_images, spec.train_labels,
+                                        opt.ds_stepsize)
+        tei, tel = downsample_by_stride(spec.test_images, spec.test_labels,
+                                        opt.ds_stepsize)
+        spec = dataclasses.replace(spec, train_images=tri, train_labels=trl,
+                                   test_images=tei, test_labels=tel)
     num_classes = spec.num_classes
 
     sup_tf = Transform(spec.name if spec.name in
@@ -172,11 +184,24 @@ def run_training(opt) -> dict:
     edges_per_step = 2 * (opt.num_train + opt.batch_size) * opt.knn_k
 
     def evaluate():
-        return test_gl_transductive(
+        # eval cadence mirrors FullySup.py:253-261/287-296: the gl branch
+        # reports the transductive accuracy; the mlp branch also runs the
+        # transductive eval (discarded, matching the reference's `_ =`) and
+        # reports test_network with the MLP predictor
+        tacc = test_gl_transductive(
             model, state, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
             tau=opt.tau)
+        if opt.sup_train_type == "mlp":
+            return test_network(
+                model, state, base_imgs, base_labels, spec.test_images,
+                spec.test_labels, num_classes, tau=opt.temp,
+                epsilon=opt.epsilon, k=opt.knn_k,
+                batch_size=min(opt.test_batch_size, len(spec.test_images)),
+                solver=opt.gl_solver, normalize_fn=eval_tf.normalize,
+                predictor="MLP")
+        return tacc
 
     # epoch-0 eval (FullySup.py:255)
     records["test_acc"].append(evaluate())
@@ -204,6 +229,10 @@ def run_training(opt) -> dict:
             for m, n_lab in pending:
                 losses.update(float(m["loss"]), n_lab)
                 accs.update(float(m["acc"]), n_lab)
+                # per-step param NaN sweep (FullySup.py:188-190); computed
+                # on device inside the step, surfaced at flush boundaries
+                if not bool(m.get("params_finite", True)):
+                    print("nan value")
             pending.clear()
 
         with trace_steps(profile_dir, enabled=epoch == profile_epoch):

@@ -23,8 +23,19 @@ from ..ops import laplace_learning
 from .losses import custom_ce_loss
 
 __all__ = ["TrainState", "create_train_state", "make_gl_train_step",
-           "make_mlp_train_step", "make_gl_eval_step", "make_encode_step",
-           "make_sharded_gl_train_step"]
+           "make_mlp_train_step", "make_gl_eval_step", "make_mlp_eval_step",
+           "make_encode_step", "make_sharded_gl_train_step", "params_finite"]
+
+
+def params_finite(params) -> jax.Array:
+    """Scalar bool: every parameter entry is finite.  The reference sweeps
+    all model params for NaN after every optimizer step (FullySup.py:188-190);
+    here the sweep is one fused device reduction folded into the train step
+    and surfaced in the metrics dict (key 'params_finite')."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if not leaves:
+        return jnp.asarray(True)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(p)) for p in leaves]))
 
 
 class TrainState(NamedTuple):
@@ -119,7 +130,8 @@ def make_gl_train_step(model, tx: optax.GradientTransformation,
         acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
         scores = _scores(pred, labels, score_type)
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
-        return new_state, {"loss": loss, "acc": acc}, scores
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}, scores
 
     return step
 
@@ -168,7 +180,8 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
         acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
         scores = _scores(pred, labels, score_type)
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
-        return new_state, {"loss": loss, "acc": acc}, scores
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}, scores
 
     return jax.jit(step, in_shardings=(None, repl, repl, batch_sharding,
                                        batch_sharding, None))
@@ -194,7 +207,8 @@ def make_mlp_train_step(model, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
-        return new_state, {"loss": loss, "acc": acc}
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}
 
     return step
 
@@ -212,6 +226,19 @@ def make_gl_eval_step(model, num_classes: int, tau: float, epsilon="auto",
                                   train=False)
         pred = laplace_learning(features, y, tau=tau, epsilon=epsilon, k=k,
                                 solver=solver)
+        return jnp.argmax(pred, axis=1)
+
+    return step
+
+
+def make_mlp_eval_step(model) -> Callable:
+    """test_network's MLP predictor branch (utils.py:621-624): classify a
+    test batch with the aux classifier head alone."""
+
+    @jax.jit
+    def step(state: TrainState, images):
+        (pred, _), _ = _apply(model, state.params, state.batch_stats, images,
+                              train=False)
         return jnp.argmax(pred, axis=1)
 
     return step

@@ -1,0 +1,121 @@
+"""Runtime invariant guards + eval-harness cadence pieces.
+
+Covers the reference's per-step NaN sweep (FullySup.py:188-190), the
+exploding-gradient warning in the op backward
+(train_and_adversarial.py:177-183), and ``test_network`` with both
+predictors (utils.py:596-634) now wired into the fullysup eval cadence.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import graphlearninglayer_tpu.ops.laplace as laplace_mod
+from graphlearninglayer_tpu.data import synthetic_dataset, Transform
+from graphlearninglayer_tpu.evalx import test_network as network_eval
+from graphlearninglayer_tpu.models import l2_normalize
+from graphlearninglayer_tpu.ops import laplace_learning
+from graphlearninglayer_tpu.train import (create_train_state,
+                                          make_gl_train_step,
+                                          make_lr_schedule, make_optimizer)
+from graphlearninglayer_tpu.train.trainer import params_finite
+
+
+class TinyNet(nn.Module):
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.relu(nn.Conv(8, (3, 3), strides=2, padding=1)(x))
+        x = jnp.mean(x, axis=(1, 2))
+        feat = nn.Dense(16)(x)
+        pred = nn.softmax(nn.Dense(self.num_classes)(feat), axis=1)
+        return pred, l2_normalize(feat)
+
+
+def _setup(num_classes=4, n_train=96, seed=0):
+    spec = synthetic_dataset(num_classes=num_classes, n_train=n_train,
+                             n_test=64, seed=seed)
+    model = TinyNet(num_classes)
+    tx = make_optimizer(make_lr_schedule(0.01, epochs=1, steps_per_epoch=1))
+    x0 = jnp.zeros((1, *spec.image_shape), jnp.float32)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), x0)
+    return spec, model, tx, state
+
+
+def test_params_finite_guard_fires_on_injected_nan():
+    spec, model, tx, state = _setup()
+    tf = Transform("synthetic", "eval")
+    step = make_gl_train_step(model, tx, 4, tau=0.07, epsilon="auto", k=6)
+
+    imgs = jnp.asarray(tf.normalize(spec.train_images[:48]))
+    labels = jnp.asarray(spec.train_labels[:48])
+    base = jnp.asarray(tf.normalize(spec.train_images[48:64]))
+    base_l = jnp.asarray(spec.train_labels[48:64])
+
+    _, metrics, _ = step(state, base, base_l, imgs, labels,
+                         jax.random.PRNGKey(1))
+    assert bool(metrics["params_finite"])
+
+    # poison one parameter tensor with a NaN — the sweep must flag it
+    bad_params = jax.tree_util.tree_map(lambda p: p, state.params)
+    leaves, treedef = jax.tree_util.tree_flatten(bad_params)
+    leaves[0] = leaves[0].at[(0,) * leaves[0].ndim].set(jnp.nan)
+    bad_params = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert not bool(params_finite(bad_params))
+    bad_state = state._replace(params=bad_params)
+    _, metrics, _ = step(bad_state, base, base_l, imgs, labels,
+                         jax.random.PRNGKey(1))
+    assert not bool(metrics["params_finite"])
+
+
+def test_exploding_grad_warning_fires(capfd):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(60, 8)))
+    y = jnp.asarray(np.eye(3)[rng.integers(0, 3, 12)])
+    gbar = jnp.asarray(rng.normal(size=(48, 3)))
+
+    def loss(xj):
+        return jnp.sum(laplace_learning(xj, y, tau=0.0, k=6) * gbar)
+
+    old = laplace_mod.GRAD_NORM_WARN_THRESHOLD
+    try:
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = 1e-12
+        g = jax.grad(loss)(x)
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        out = capfd.readouterr()
+        assert "possible exploding gradient" in out.out + out.err
+        # threshold high again: no warning
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = 1e12
+        g = jax.grad(loss)(x)
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        out = capfd.readouterr()
+        assert "possible exploding gradient" not in out.out + out.err
+    finally:
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = old
+
+
+def test_test_network_gl_and_mlp_predictors(capfd):
+    spec, model, tx, state = _setup(n_train=128)
+    tf = Transform("synthetic", "eval")
+    base_imgs = spec.train_images[:32]
+    base_labels = spec.train_labels[:32]
+
+    # batch_size 40 over 64 test images -> one full + one padded tail batch
+    acc_gl = network_eval(model, state, base_imgs, base_labels,
+                          spec.test_images, spec.test_labels, 4, tau=0.07,
+                          epsilon="auto", k=6, batch_size=40,
+                          normalize_fn=tf.normalize, predictor="GL")
+    acc_mlp = network_eval(model, state, base_imgs, base_labels,
+                           spec.test_images, spec.test_labels, 4, tau=0.07,
+                           k=6, batch_size=40, normalize_fn=tf.normalize,
+                           predictor="MLP")
+    out = capfd.readouterr().out
+    assert "Accuracy for GL predictor" in out
+    assert "Accuracy for MLP predictor" in out
+    for acc in (acc_gl, acc_mlp):
+        assert 0.0 <= acc <= 100.0
+    # every test point is scored exactly once (padded tail trimmed)
+    assert f"/{len(spec.test_images)} " in out

@@ -107,3 +107,19 @@ def test_encoders_accept_bf16(make, shape):
     out = _init_apply(make(), shape)
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_smallcnn_zero_init_final_linear():
+    """Reference zero-inits the final classifier (adversarial.py:305-306):
+    the untrained model must output the uniform distribution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphlearninglayer_tpu.models import SmallCNN
+
+    m = SmallCNN(num_classes=10)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 28, 28, 1)),
+                    jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.log(0.1), atol=1e-6)
