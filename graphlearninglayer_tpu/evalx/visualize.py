@@ -5,6 +5,12 @@ features for train+test with base points starred, plus an optional SGD
 linear-probe accuracy.  UMAP is used when installed; otherwise falls back to
 sklearn t-SNE (and PCA as a last resort) — host-side post-processing, not a
 device workload.
+
+Also a standalone CLI mirroring reference visualize.py:55-225 (load an
+arbitrary checkpoint, encode train+test, embed + optional linear probe):
+
+    python -m graphlearninglayer_tpu.evalx.visualize <ckpt_dir> \
+        --dataset cifar10 --model resnet18 [--tsne] [--probe] [--head no]
 """
 from __future__ import annotations
 
@@ -12,7 +18,8 @@ import os
 
 import numpy as np
 
-__all__ = ["embed_2d", "plot_embedding", "linear_probe_accuracy", "visualize"]
+__all__ = ["embed_2d", "plot_embedding", "linear_probe_accuracy", "visualize",
+           "main"]
 
 
 def embed_2d(features: np.ndarray, method: str = "auto",
@@ -81,3 +88,80 @@ def visualize(features: np.ndarray, labels: np.ndarray, save_dir: str,
                        os.path.join(save_dir, f"{prefix}_tsne.png"),
                        base_mask, f"{prefix} (t-SNE)")
     return emb
+
+
+def main(argv=None):
+    """Standalone checkpoint visualization (reference visualize.py:55-225):
+    restore a fullysup/adversarial checkpoint, encode train+test features,
+    write the embedding PNG pair per split, optionally report a linear-probe
+    accuracy on frozen features."""
+    import argparse
+
+    parser = argparse.ArgumentParser("visualize a saved checkpoint")
+    parser.add_argument("ckpt", help="checkpoint directory (Orbax)")
+    parser.add_argument("--dataset", type=str, default="cifar10")
+    parser.add_argument("--model", type=str, default="resnet18")
+    parser.add_argument("--head", type=str, default="mlp",
+                        choices=["linear", "mlp", "no"])
+    parser.add_argument("--embedding_dim", type=int, default=128)
+    parser.add_argument("--tsne", action="store_true",
+                        help="also produce t-SNE plots (reference --TSNE)")
+    parser.add_argument("--probe", action="store_true",
+                        help="SGD linear-probe accuracy on frozen features "
+                             "(reference svm=True, visualize.py:180-210)")
+    parser.add_argument("--save_dir", type=str, default=None,
+                        help="output dir (default: the checkpoint dir)")
+    parser.add_argument("--max_points", type=int, default=10000,
+                        help="cap on points embedded per split")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import Transform, load_dataset
+    from ..models import BuildNet
+    from ..train.optim import make_lr_schedule, make_optimizer
+    from ..train.trainer import create_train_state, make_encode_step
+    from ..utils.checkpoint import restore_checkpoint
+    from .harness import encode_dataset
+
+    spec = load_dataset(args.dataset, allow_synthetic_fallback=True)
+    tf = Transform(spec.name if spec.name in
+                   ("mnist", "fashion_mnist", "cifar10", "cifar100",
+                    "miniimagenet", "synthetic") else "synthetic", "eval")
+    model = BuildNet(name=args.model, head=args.head,
+                     feat_dim=args.embedding_dim,
+                     num_classes=spec.num_classes)
+    tx = make_optimizer(make_lr_schedule(0.1, epochs=1, steps_per_epoch=1))
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
+                               jnp.zeros((1, *spec.image_shape), jnp.float32))
+    state, epoch = restore_checkpoint(args.ckpt, state)
+    print(f"restored checkpoint epoch {epoch} from {args.ckpt}")
+
+    save_dir = args.save_dir or args.ckpt
+    encode_step = make_encode_step(model)
+    rng = np.random.default_rng(args.seed)
+    splits = {"train": (spec.train_images, spec.train_labels),
+              "test": (spec.test_images, spec.test_labels)}
+    feats = {}
+    for name, (images, labels) in splits.items():
+        if len(images) > args.max_points:
+            sel = rng.permutation(len(images))[: args.max_points]
+            images, labels = images[sel], labels[sel]
+        f = encode_dataset(encode_step, state, images, tf.normalize)
+        feats[name] = (f, labels)
+        visualize(f, labels, save_dir, tsne=args.tsne, seed=args.seed,
+                  prefix=f"{args.dataset}_{name}")
+        print(f"{name}: embedded {len(f)} points -> "
+              f"{save_dir}/{args.dataset}_{name}_umap.png")
+
+    if args.probe:
+        acc = linear_probe_accuracy(*feats["train"], *feats["test"],
+                                    seed=args.seed)
+        print(f"Linear Classifier Accuracy is {100 * acc:.2f}%")
+    return feats
+
+
+if __name__ == "__main__":
+    main()

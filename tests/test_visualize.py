@@ -57,3 +57,31 @@ def test_visualize_writes_pngs(blobs, tmp_path):
     assert os.path.exists(tmp_path / "feat_umap.png")
     plot_embedding(emb, labels, str(tmp_path / "plain.png"))
     assert os.path.exists(tmp_path / "plain.png")
+
+
+def test_visualize_cli_from_checkpoint(tmp_path):
+    """Standalone CLI (reference visualize.py:55-225): restore an arbitrary
+    checkpoint, embed train+test, write the PNG pair, report the probe."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphlearninglayer_tpu.evalx.visualize import main
+    from graphlearninglayer_tpu.models import BuildNet
+    from graphlearninglayer_tpu.train.optim import (make_lr_schedule,
+                                                    make_optimizer)
+    from graphlearninglayer_tpu.train.trainer import create_train_state
+    from graphlearninglayer_tpu.utils.checkpoint import save_checkpoint
+
+    model = BuildNet(name="cifarcnn", head="mlp", feat_dim=16, num_classes=10)
+    tx = make_optimizer(make_lr_schedule(0.1, epochs=1, steps_per_epoch=1))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3), jnp.float32))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, 3)
+
+    out = tmp_path / "viz"
+    main([str(ckpt), "--dataset", "cifar10", "--model", "cifarcnn",
+          "--embedding_dim", "16", "--max_points", "60", "--probe",
+          "--save_dir", str(out)])
+    assert os.path.exists(out / "cifar10_train_umap.png")
+    assert os.path.exists(out / "cifar10_test_umap.png")
