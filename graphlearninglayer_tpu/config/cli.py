@@ -68,6 +68,10 @@ def parse_option(argv=None):
                                  "fashion_mnist", "miniimagenet",
                                  "synthetic"])
     parser.add_argument("--ds_stepsize", type=int, default=1)
+    parser.add_argument("--synth_n_train", type=int, default=4096,
+                        help="train-set size when the synthetic dataset (or "
+                             "a synthetic fallback) is used")
+    parser.add_argument("--synth_n_test", type=int, default=1024)
     parser.add_argument("--data_folder", type=str, default=None)
     parser.add_argument("--size", type=int, default=32)
     parser.add_argument("--augment_type_sup", type=str, default="strong",

@@ -68,6 +68,11 @@ def _warn_exploding_grad(gx, gbar):
     thresh = GRAD_NORM_WARN_THRESHOLD
     if not thresh:
         return gx
+    # jax.debug.print rides host callbacks, which experimental plugin
+    # backends (e.g. the axon TPU relay) do not implement — emitting it
+    # there aborts the whole train step, so the guard is CPU/GPU/TPU-only
+    if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+        return gx
     gnorm = jnp.linalg.norm(gbar)
     onorm = jnp.linalg.norm(gx)
 

@@ -1,0 +1,463 @@
+"""Edge-partitioned graph parallelism: cluster-sharded build + halo-exchange CG.
+
+This is the scaling path SURVEY.md §5/§7 calls for on large transductive
+graphs (reference utils.py:637-651 at 60k+ nodes): unlike
+``parallel/graph_shard.py`` (which builds the graph replicated and
+all-gathers the full (n, l) iterate every matvec), here
+
+  * the KNN build runs INSIDE the mesh — each device computes the distance
+    panel + top-k for its own row block only (the O(n^2 d / P) dominant
+    build cost is divided across chips), and
+  * the CG matvec exchanges ONLY the halo: nodes are permuted so each
+    shard owns a geometrically coherent cluster region, each shard's slot
+    lists reference mostly local rows, and the few remote columns a shard
+    needs are fetched per iteration with one ``lax.all_to_all`` over a
+    precomputed, static-shape request table.  Per-device working set is
+    O(n/P + halo) instead of O(n).
+
+Layout pipeline:
+
+  1. k-means cluster permutation (device, ops/bsr.kmeans_labels) so
+     contiguous row chunks are geographically coherent -> halo stays small.
+  2. sharded exact KNN (shard_map: queries row-sharded, corpus replicated —
+     features are O(n d), tiny next to the O(n^2) panel work).
+  3. host-side plan (numpy, one-time per graph): symmetrization
+     coefficients, affinities, per-shard combined ELL slot lists remapped
+     into a [local rows | halo buffer] id space, halo request tables,
+     overflow COO for hub rows, Jacobi diagonal, preconditioned RHS.
+  4. device CG (shard_map): ``stable_conjgrad`` semantics (masked
+     per-column updates, GLL.py:247-276) with (l,)-sized psum reductions;
+     each matvec = one all_to_all halo refresh + local gather-multiply-
+     reduce over the slot lists (+ one small overflow scatter).
+
+Static shapes throughout: slot cap, halo cap, and overflow cap are
+bucketed per graph so repeated solves of similar graphs reuse the
+compiled program.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.bsr import kmeans_labels
+
+__all__ = ["sharded_knn", "edge_sharded_transductive_laplace",
+           "EdgeShardPlan", "build_edge_shard_plan"]
+
+
+def _bucket(v: int, m: int) -> int:
+    return max(-(-int(v) // m) * m, m)
+
+
+def sharded_knn(mesh: Mesh, x, k: int, axis: str = "graph",
+                block: int = 2048):
+    """Exact KNN with the row/query dimension sharded over ``axis``.
+
+    Each device computes the |q|^2 + |x|^2 - 2 q x^T panel and top-k for its
+    own row block (in ``block``-row tiles), against a replicated corpus.
+    Returns (nbr, dist2), both (n, k), row-sharded.  n must be divisible by
+    the axis size.
+    """
+    n, d = x.shape
+    nd = mesh.shape[axis]
+    if n % nd:
+        raise ValueError(f"n={n} not divisible by axis size {nd}")
+    n_loc = n // nd
+
+    @partial(jax.jit, static_argnums=())
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(None, None)),
+             out_specs=(P(axis, None), P(axis, None)))
+    def _knn(xq, xall):
+        row0 = jax.lax.axis_index(axis) * n_loc
+        xx_all = jnp.sum(xall * xall, axis=-1)
+        blk = min(block, n_loc)
+        pad = (-n_loc) % blk
+        xq_p = jnp.pad(xq, ((0, pad), (0, 0)))
+        nblocks = (n_loc + pad) // blk
+        rows = row0 + jnp.arange(n_loc + pad, dtype=jnp.int32)
+
+        def one_block(args):
+            xb, rb = args
+            qq = jnp.sum(xb * xb, axis=-1)
+            cross = jax.lax.dot_general(
+                xb, xall, (((1,), (1,)), ((), ())),
+                preferred_element_type=xb.dtype)
+            d2 = jnp.maximum(qq[:, None] + xx_all[None, :] - 2.0 * cross, 0.0)
+            is_self = rb[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+            d2 = jnp.where(is_self, -1.0, d2)
+            neg_top, idx = jax.lax.top_k(-d2, k)
+            return idx.astype(jnp.int32), jnp.maximum(-neg_top, 0.0)
+
+        idx, dist2 = jax.lax.map(
+            one_block, (xq_p.reshape(nblocks, blk, d),
+                        rows.reshape(nblocks, blk)))
+        return (idx.reshape(-1, k)[:n_loc], dist2.reshape(-1, k)[:n_loc])
+
+    return _knn(x, x)
+
+
+class EdgeShardPlan(NamedTuple):
+    """Static per-shard solve plan (leading axis = shard).
+
+    slot_nbr:  (nd, n_loc, S) int32 — slot column ids in the shard-local
+               [0, n_loc + nd*Hcap) id space (local rows first, then the
+               halo buffer in peer-major order).
+    slot_val:  (nd, n_loc, S) — coefficient-folded symmetric affinities.
+    req_recv:  (nd, nd, Hcap) int32 — req_recv[p, q] = LOCAL row indices on
+               shard p that shard q's halo requests (the all_to_all send
+               gather list).
+    ovf_*:     (nd, OV) — overflow COO entries (dst local row, src in the
+               local+halo id space); dst == n_loc marks padding (dropped).
+    diag:      (nd, n_loc) — Luu diagonal (degree + tau; 0-degree on
+               labeled rows' entries is irrelevant, they are masked).
+    mscale:    (nd, n_loc) — Jacobi 1/sqrt(diag) on unlabeled rows, 0 on
+               labeled rows.
+    rhs:       (nd, n_loc, l) — preconditioned RHS  M (W_ul Y).
+    stats:     dict — sizes for observability/memory accounting.
+    """
+
+    slot_nbr: np.ndarray
+    slot_val: np.ndarray
+    req_recv: np.ndarray
+    ovf_dst: np.ndarray
+    ovf_src: np.ndarray
+    ovf_val: np.ndarray
+    diag: np.ndarray
+    mscale: np.ndarray
+    rhs: np.ndarray
+    stats: dict
+
+
+def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
+                          y_full: np.ndarray, labeled_pos: np.ndarray,
+                          nd: int, tau: float, epsilon="auto",
+                          in_cap_limit: int = 512,
+                          dtype=None) -> EdgeShardPlan:
+    """One-time host plan from the (already cluster-permuted) KNN lists.
+
+    Reproduces the reference graph semantics (union symmetrization with
+    dropped zero-distance edges, auto-eps = k-th NN distance floored at
+    1e-6 — GLL.py:180-244) and packs, per shard, the combined out+in edge
+    slots with columns remapped into the local+halo id space.
+
+    ``y_full`` is (n, l) with one-hot rows at the ``labeled_pos`` node
+    positions (arbitrary under the cluster permutation) and zeros
+    elsewhere.
+    """
+    n, k = nbr.shape
+    l = y_full.shape[1]
+    if n % nd:
+        raise ValueError(f"n={n} not divisible by nd={nd}")
+    n_loc = n // nd
+    dtype = dtype or dist2.dtype
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = nbr.reshape(-1).astype(np.int64)
+    d2 = dist2.reshape(-1).astype(np.float64)
+
+    valid = (cols != rows) & (d2 > 0.0)
+    # reciprocal detection: undirected key appearing twice -> coef 0.5
+    u = np.minimum(rows, cols)
+    v = np.maximum(rows, cols)
+    key = u * n + v
+    key_v = np.where(valid, key, -1)
+    _, inv, counts = np.unique(key_v, return_inverse=True,
+                               return_counts=True)
+    coef = np.where(valid, np.where(counts[inv] > 1, 0.5, 1.0), 0.0)
+
+    if isinstance(epsilon, str):
+        if epsilon != "auto":
+            raise ValueError(f"epsilon must be 'auto' or float: {epsilon!r}")
+        eps = np.maximum(np.sqrt(dist2[:, -1].astype(np.float64)), 1e-6)
+    else:
+        eps = np.full(n, float(epsilon))
+    w = np.exp(-4.0 * d2 / (eps[rows] * eps[cols]))
+    c = (coef * w)  # folded symmetric edge value per directed edge
+
+    # degrees of the symmetric matrix
+    deg = np.zeros(n)
+    np.add.at(deg, rows, c)
+    np.add.at(deg, cols, c)
+
+    # RHS b = A @ y_full
+    b = np.zeros((n, l))
+    np.add.at(b, rows, c[:, None] * y_full[cols])
+    np.add.at(b, cols, c[:, None] * y_full[rows])
+
+    diag = deg + float(tau)
+    unlab = np.ones(n, bool)
+    unlab[np.asarray(labeled_pos, np.int64)] = False
+    mscale = np.where(unlab, 1.0 / np.sqrt(diag + 1e-10), 0.0)
+    rhs = mscale[:, None] * b
+
+    # ---- combined slot lists: k out-slots + in-slots up to cap ----------
+    order = np.argsort(cols[valid], kind="stable")
+    src_s = rows[valid][order]
+    dst_s = cols[valid][order]
+    c_s = c[valid][order]
+    indeg = np.bincount(dst_s, minlength=n)
+    cap = min(_bucket(indeg.max() if len(dst_s) else 1, 32), in_cap_limit)
+    start = np.zeros(n + 1, np.int64)
+    np.cumsum(indeg, out=start[1:])
+    rank = np.arange(len(dst_s)) - start[dst_s]
+    S = k + cap
+
+    slot_cols = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, S))
+    slot_vals = np.zeros((n, S))
+    # out half: original (n, k) lists; masked edges keep val 0 / self col
+    out_c = (coef * w).reshape(n, k)
+    keep = out_c != 0.0
+    slot_cols[:, :k] = np.where(keep, nbr, np.arange(n)[:, None])
+    slot_vals[:, :k] = out_c
+    # in half
+    infit = rank < cap
+    slot_cols[dst_s[infit], k + rank[infit]] = src_s[infit]
+    slot_vals[dst_s[infit], k + rank[infit]] = c_s[infit]
+    # overflow (hub rows beyond cap)
+    ov_mask = ~infit
+    ov_dst_g = dst_s[ov_mask]
+    ov_src_g = src_s[ov_mask]
+    ov_val_g = c_s[ov_mask]
+
+    # ---- per-shard remap into [local | halo] id space -------------------
+    shard_of = lambda ids: ids // n_loc
+    # halo needs: unique remote ids per (shard, peer), over slots + overflow
+    needs = [[None] * nd for _ in range(nd)]
+    hmax = 1
+    for q in range(nd):
+        r0, r1 = q * n_loc, (q + 1) * n_loc
+        ids = slot_cols[r0:r1].reshape(-1)
+        ids = np.concatenate([ids, ov_src_g[shard_of(ov_dst_g) == q]])
+        ids = ids[(ids < r0) | (ids >= r1)]
+        pk = shard_of(ids)
+        for p in range(nd):
+            uq = np.unique(ids[pk == p])
+            needs[q][p] = uq
+            hmax = max(hmax, len(uq))
+    hcap = _bucket(hmax, 8)
+
+    reqs = np.zeros((nd, nd, hcap), np.int64)  # global ids q needs from p
+    for q in range(nd):
+        for p in range(nd):
+            uq = needs[q][p]
+            reqs[q, p, :len(uq)] = uq
+            # pad with the range MAXIMUM so the row stays sorted — the
+            # remap below searchsorteds into it (a smaller pad value would
+            # silently corrupt positions); any p-row is a benign fetch
+            reqs[q, p, len(uq):] = (p + 1) * n_loc - 1
+    req_recv = np.zeros((nd, nd, hcap), np.int32)
+    for p in range(nd):
+        for q in range(nd):
+            req_recv[p, q] = (reqs[q, p] - p * n_loc).astype(np.int32)
+
+    def remap(q, ids):
+        """global ids -> [0, n_loc + nd*hcap) for shard q."""
+        out = np.empty(ids.shape, np.int32)
+        local = shard_of(ids) == q
+        out[local] = (ids[local] - q * n_loc).astype(np.int32)
+        rem = ~local
+        ids_r = ids[rem]
+        pk = shard_of(ids_r)
+        pos = np.empty(len(ids_r), np.int64)
+        for p in range(nd):
+            sel = pk == p
+            pos[sel] = (n_loc + p * hcap
+                        + np.searchsorted(reqs[q, p], ids_r[sel]))
+        out[rem] = pos.astype(np.int32)
+        return out
+
+    slot_nbr_l = np.zeros((nd, n_loc, S), np.int32)
+    slot_val_l = np.zeros((nd, n_loc, S), dtype)
+    for q in range(nd):
+        r0, r1 = q * n_loc, (q + 1) * n_loc
+        slot_nbr_l[q] = remap(q, slot_cols[r0:r1]).reshape(n_loc, S)
+        slot_val_l[q] = slot_vals[r0:r1].astype(dtype)
+
+    ov_counts = np.bincount(shard_of(ov_dst_g), minlength=nd)
+    ov_cap = _bucket(ov_counts.max() if len(ov_dst_g) else 1, 128)
+    ovf_dst = np.full((nd, ov_cap), n_loc, np.int32)   # n_loc = drop marker
+    ovf_src = np.zeros((nd, ov_cap), np.int32)
+    ovf_val = np.zeros((nd, ov_cap), dtype)
+    for q in range(nd):
+        sel = shard_of(ov_dst_g) == q
+        cnt = int(sel.sum())
+        if cnt:
+            ovf_dst[q, :cnt] = (ov_dst_g[sel] - q * n_loc).astype(np.int32)
+            ovf_src[q, :cnt] = remap(q, ov_src_g[sel])
+            ovf_val[q, :cnt] = ov_val_g[sel].astype(dtype)
+
+    halo_used = int(sum(len(needs[q][p]) for q in range(nd)
+                        for p in range(nd)))
+    stats = dict(n=n, nd=nd, n_loc=n_loc, S=S, in_cap=cap, hcap=hcap,
+                 ov_cap=ov_cap, halo_used=halo_used,
+                 halo_frac=halo_used / max(nd * n, 1),
+                 # per-matvec working set (rows touched per device) vs the
+                 # replicated all-gather design's n rows
+                 rows_per_device=n_loc + nd * hcap,
+                 sharded_bytes=int(slot_nbr_l[0].nbytes
+                                   + slot_val_l[0].nbytes
+                                   + (n_loc + nd * hcap) * l
+                                   * np.dtype(dtype).itemsize),
+                 replicated_bytes=int(slot_cols.nbytes // 2
+                                      + slot_vals.nbytes // 2
+                                      + n * l * np.dtype(dtype).itemsize))
+    return EdgeShardPlan(slot_nbr_l, slot_val_l, req_recv, ovf_dst, ovf_src,
+                         ovf_val,
+                         diag.reshape(nd, n_loc).astype(dtype),
+                         mscale.reshape(nd, n_loc).astype(dtype),
+                         rhs.reshape(nd, n_loc, l).astype(dtype), stats)
+
+
+def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
+                       tol: float = 1e-10, max_iter: int = 10_000):
+    """Halo-exchange CG over the per-shard plan.  Returns M z, shape (n, l).
+
+    ``stable_conjgrad`` semantics (masked per-column alpha/beta,
+    GLL.py:247-276); every matvec refreshes the halo with one all_to_all
+    and reduces locally over the slot lists.
+    """
+    nd, n_loc, S = plan.slot_nbr.shape
+    hcap = plan.req_recv.shape[2]
+    l = plan.rhs.shape[2]
+
+    spec3 = P(axis, None, None)
+    spec2 = P(axis, None)
+
+    @partial(jax.jit, static_argnums=())
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(spec3, spec3, spec3, spec2, spec2, spec2, spec2,
+                       spec2, spec3),
+             out_specs=spec3)
+    def solve(slot_nbr, slot_val, req_recv, ovf_dst, ovf_src, ovf_val,
+              diag, mscale, rhs):
+        slot_nbr, slot_val, req_recv = slot_nbr[0], slot_val[0], req_recv[0]
+        ovf_dst, ovf_src, ovf_val = ovf_dst[0], ovf_src[0], ovf_val[0]
+        diag, mscale, b = diag[0], mscale[0], rhs[0]
+        unlab = mscale > 0
+
+        def spmm(p_loc):
+            # halo refresh: send each peer the rows it requested, receive
+            # the rows we requested — one all_to_all on (nd, hcap, l)
+            send = p_loc[req_recv]                       # (nd, hcap, l)
+            halo = jax.lax.all_to_all(send, axis, 0, 0)  # (nd, hcap, l)
+            xa = jnp.concatenate([p_loc, halo.reshape(nd * hcap, l)], axis=0)
+            xt = xa.T                                    # (l, n_loc+halo)
+            gathered = jnp.take(xt, slot_nbr, axis=1)    # (l, n_loc, S)
+            out = jnp.sum(slot_val[None] * gathered, axis=2).T
+            out = out.at[ovf_dst].add(
+                ovf_val[:, None] * xa[ovf_src], mode="drop")
+            return out
+
+        def matvec(p):
+            q = mscale[:, None] * p
+            wq = spmm(q)
+            return ((mscale * diag * mscale)[:, None] * p
+                    - mscale[:, None] * wq * unlab[:, None].astype(p.dtype))
+
+        def gsum(vv):
+            return jax.lax.psum(jnp.sum(vv, axis=0), axis)
+
+        tol_a = jnp.asarray(tol, b.dtype)
+        x0 = jnp.zeros_like(b)
+        r0 = b - matvec(x0)
+        rs0 = gsum(r0 * r0)
+
+        def cond(state):
+            _, _, _, _, err, i = state
+            return (err > tol_a) & (i < max_iter)
+
+        def body(state):
+            xk, r, p, rsold, _, i = state
+            ap = matvec(p)
+            pap = gsum(p * ap)
+            live = rsold > tol_a * tol_a
+            alpha = jnp.where(live, rsold / jnp.where(live, pap, 1.0), 0.0)
+            xk = xk + alpha * p
+            r = r - alpha * ap
+            rsnew = gsum(r * r)
+            err = jnp.sqrt(jnp.max(rsnew))
+            livenew = rsnew > tol_a * tol_a
+            beta = jnp.where(livenew,
+                             rsnew / jnp.where(livenew, rsold, 1.0), 0.0)
+            p = r + beta * p
+            return xk, r, p, rsnew, err, i + 1
+
+        err0 = jnp.sqrt(jnp.max(rs0))
+        z, *_ = jax.lax.while_loop(
+            cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
+        return (mscale[:, None] * z)[None]
+
+    out = solve(jnp.asarray(plan.slot_nbr), jnp.asarray(plan.slot_val),
+                jnp.asarray(plan.req_recv), jnp.asarray(plan.ovf_dst),
+                jnp.asarray(plan.ovf_src), jnp.asarray(plan.ovf_val),
+                jnp.asarray(plan.diag), jnp.asarray(plan.mscale),
+                jnp.asarray(plan.rhs))
+    return jnp.reshape(out, (nd * n_loc, l))
+
+
+def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
+                                      epsilon="auto", tau: float = 1e-8,
+                                      axis: str = "graph",
+                                      knn_block: int = 2048,
+                                      n_clusters: int | None = None,
+                                      return_stats: bool = False):
+    """Cluster-permuted, edge-partitioned transductive Laplace learning.
+
+    Numerically equivalent to ``ops.transductive.transductive_laplace``
+    (labeled rows 0..k_lab-1; returns (n - k_lab, l) unlabeled scores).
+    The KNN build runs row-sharded on the mesh; the CG runs with halo
+    exchange only.  Node count is padded with far-away dummy nodes to a
+    multiple of the axis size (their affinities underflow to zero).
+    """
+    n_real = x.shape[0]
+    k_lab = y.shape[0]
+    nd = mesh.shape[axis]
+    pad = (-n_real) % nd
+    x = jnp.asarray(x)
+    if pad:
+        far = jnp.max(jnp.abs(x)) * 1e3 + 1e3
+        fill = far * (1.0 + jnp.arange(pad, dtype=x.dtype)[:, None])
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(fill, (pad, x.shape[1]))], axis=0)
+    n = x.shape[0]
+
+    # 1. cluster permutation (stable sort by k-means label -> contiguous
+    #    chunks are coherent regions; halo shrinks accordingly)
+    if n_clusters is None:
+        n_clusters = max(nd, min(256, n // 512))
+    labels = np.asarray(jax.device_get(kmeans_labels(x, n_clusters)))
+    perm = np.argsort(labels, kind="stable").astype(np.int64)
+    x_p = x[jnp.asarray(perm)]
+
+    # y rows must stay attached to their nodes: labeled node ids under the
+    # permutation
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    y_np = np.asarray(y)
+    y_full_rows = np.zeros((n, y_np.shape[1]), y_np.dtype)
+    y_full_rows[inv[:k_lab]] = y_np
+
+    # 2. sharded KNN build on the permuted rows
+    nbr, dist2 = sharded_knn(mesh, x_p, knn_num, axis, knn_block)
+    nbr = np.asarray(jax.device_get(nbr))
+    dist2 = np.asarray(jax.device_get(dist2))
+
+    # 3. host plan (labeled rows sit at arbitrary permuted positions)
+    plan = build_edge_shard_plan(nbr, dist2, y_full_rows, inv[:k_lab], nd,
+                                 tau, epsilon, dtype=np.asarray(x_p).dtype)
+
+    # 4. halo-exchange CG
+    out = edge_sharded_solve(mesh, plan, axis)
+    out = np.asarray(jax.device_get(out))          # (n, l), permuted rows
+
+    # unpermute; drop labeled + dummy rows
+    unperm = out[inv]                              # original row order
+    pred = unperm[k_lab:n_real]
+    if return_stats:
+        return jnp.asarray(pred), plan.stats
+    return jnp.asarray(pred)

@@ -107,7 +107,9 @@ def _records_and_plots(save_folder, records):
 
 def run_training(opt) -> dict:
     rng_np = np.random.default_rng(opt.seed)
-    spec = load_dataset(opt.dataset, allow_synthetic_fallback=True)
+    spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
+                        n_train=getattr(opt, "synth_n_train", 4096),
+                        n_test=getattr(opt, "synth_n_test", 1024))
     if getattr(opt, "ds_stepsize", 1) > 1:
         # keep every stepsize-th sample of both splits (reference
         # DSCustomDataset applied inside set_loader, utils.py:340-341)

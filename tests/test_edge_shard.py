@@ -1,0 +1,87 @@
+"""Edge-partitioned (cluster + halo-exchange) sharded solve, 8-device CPU.
+
+Validates the parallel/edge_shard.py path VERDICT.md item 3 asked for:
+(a) the mesh-internal row-block KNN build matches the single-device tiled
+KNN, (b) the halo-exchange CG matches the single-device transductive
+solver on clustered AND unclustered data, and (c) on cluster-structured
+data the per-device working set is measured well below 2/8 of the
+replicated design's.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphlearninglayer_tpu.ops import transductive_laplace
+from graphlearninglayer_tpu.ops.knn import knn_tiled
+from graphlearninglayer_tpu.parallel import make_mesh
+from graphlearninglayer_tpu.parallel.edge_shard import (
+    edge_sharded_transductive_laplace, sharded_knn)
+from tests.oracle import reference_op as ref
+
+
+def _blobs(rng, n, d, n_blobs=8, spread=0.15):
+    centers = rng.normal(size=(n_blobs, d)) * 4.0
+    labels = rng.integers(0, n_blobs, n)
+    return (centers[labels] + spread * rng.normal(size=(n, d))).astype(
+        np.float64)
+
+
+def test_sharded_knn_matches_tiled(rng):
+    n, d, k = 256, 6, 9
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    mesh = make_mesh(8, axes=("graph",))
+    nbr_s, d2_s = sharded_knn(mesh, x, k, "graph", block=64)
+    nbr_1, d2_1 = knn_tiled(x, k, 64)
+    np.testing.assert_array_equal(np.asarray(nbr_s), np.asarray(nbr_1))
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_1),
+                               atol=1e-12)
+
+
+def test_edge_sharded_matches_single_device_clustered(rng):
+    n, d, k_lab, l = 2048, 6, 48, 4
+    x = jnp.asarray(_blobs(rng, n, d, n_blobs=32, spread=0.1))
+    y = jnp.asarray(ref.one_hot(rng.integers(0, l, k_lab), l))
+    single = transductive_laplace(x, y, knn_num=10, epsilon="auto",
+                                  tau=1e-8, knn_block=64, mode="scatter")
+    mesh = make_mesh(8, axes=("graph",))
+    got, stats = edge_sharded_transductive_laplace(
+        mesh, x, y, knn_num=10, epsilon="auto", tau=1e-8, knn_block=64,
+        n_clusters=32, return_stats=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                               atol=1e-7)
+    # clustered data -> most slot references are local; the per-device
+    # working set must be well under 2/8 of the replicated layout
+    assert stats["sharded_bytes"] < 0.25 * stats["replicated_bytes"], stats
+    assert stats["rows_per_device"] < 0.5 * stats["n"], stats
+
+
+def test_edge_sharded_matches_single_device_unclustered(rng):
+    # no cluster structure: halo grows toward full replication but the
+    # numerics must still match exactly
+    n, d, k_lab, l = 208, 5, 24, 3
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    y = jnp.asarray(ref.one_hot(rng.integers(0, l, k_lab), l))
+    single = transductive_laplace(x, y, knn_num=8, epsilon="auto",
+                                  tau=1e-8, knn_block=64, mode="scatter")
+    mesh = make_mesh(8, axes=("graph",))
+    got = edge_sharded_transductive_laplace(mesh, x, y, knn_num=8,
+                                            epsilon="auto", tau=1e-8,
+                                            knn_block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                               atol=1e-7)
+
+
+def test_edge_sharded_padding_and_fixed_eps(rng):
+    # n = 203 not divisible by 8 -> dummy padding; fixed-bandwidth mode
+    n, d, k_lab, l = 203, 6, 24, 3
+    x = jnp.asarray(_blobs(rng, n, d))
+    y = jnp.asarray(ref.one_hot(rng.integers(0, l, k_lab), l))
+    single = transductive_laplace(x, y, knn_num=8, epsilon=1.0,
+                                  tau=1e-6, knn_block=64, mode="scatter")
+    mesh = make_mesh(8, axes=("graph",))
+    got = edge_sharded_transductive_laplace(mesh, x, y, knn_num=8,
+                                            epsilon=1.0, tau=1e-6,
+                                            knn_block=64)
+    assert got.shape == single.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                               atol=1e-7)
