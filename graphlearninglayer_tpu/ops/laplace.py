@@ -64,14 +64,45 @@ __all__ = ["LaplaceConfig", "laplace_learning", "GRAD_NORM_WARN_THRESHOLD"]
 GRAD_NORM_WARN_THRESHOLD: float | None = 10_000.0
 
 
+_CALLBACKS_OK: bool | None = None
+
+
+def _callbacks_supported() -> bool:
+    """jax.debug.print rides host callbacks, which some plugin backends
+    (e.g. the axon TPU relay: 'UNIMPLEMENTED: axon_pjrt does not support
+    host send/recv callbacks') reject AT EXECUTION, aborting the whole
+    train step.  The backend advertises platform 'tpu', so capability must
+    be probed, not name-matched; result cached per process."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        import contextlib
+        import io
+
+        def probe(x):
+            jax.debug.print("", ordered=False)
+            return x + 1
+
+        try:
+            # AOT-compile and invoke: the first call typically happens while
+            # TRACING a train step, where a plain jit(probe)(x) would be
+            # inlined into the outer program instead of executing — the
+            # compiled executable runs for real regardless of trace state
+            import numpy as _np
+            x0 = _np.zeros((), _np.float32)  # numpy, NOT jnp: inside an
+            # active trace a jnp constant is a Tracer and the compiled
+            # executable would reject it
+            compiled = jax.jit(probe).lower(x0).compile()
+            with contextlib.redirect_stdout(io.StringIO()):
+                jax.block_until_ready(compiled(x0))
+            _CALLBACKS_OK = True
+        except Exception:
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
+
 def _warn_exploding_grad(gx, gbar):
     thresh = GRAD_NORM_WARN_THRESHOLD
-    if not thresh:
-        return gx
-    # jax.debug.print rides host callbacks, which experimental plugin
-    # backends (e.g. the axon TPU relay) do not implement — emitting it
-    # there aborts the whole train step, so the guard is CPU/GPU/TPU-only
-    if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm", "tpu"):
+    if not thresh or not _callbacks_supported():
         return gx
     gnorm = jnp.linalg.norm(gbar)
     onorm = jnp.linalg.norm(gx)
