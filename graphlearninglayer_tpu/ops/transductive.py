@@ -172,7 +172,7 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, knn_block: int = 2048,
                          mode: str = "bsr", ell_cap_limit: int = 512,
                          bsr_block: int = 256,
-                         bsr_max_tile_bytes: int = 8 << 30):
+                         bsr_max_tile_bytes: int = 4 << 30):
     """Full-dataset Laplace learning; labeled rows are 0..k_lab-1.
 
     x: (n, d) features; y: (k_lab, l) one-hot labels.  Returns (n - k_lab, l)
@@ -185,8 +185,17 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
         raise ValueError(f"unknown mode {mode!r}")
     g = _build(x, knn_num, epsilon, knn_block)
     if mode == "bsr":
-        out = _transductive_bsr(x, g, y, float(tau), bsr_block,
-                                bsr_max_tile_bytes)
+        # The BSR tile budget is data-dependent (trained features cluster
+        # differently run to run); if the resulting program exceeds device
+        # memory at compile/execute, degrade to 'sorted' instead of killing
+        # a long training run mid-eval.
+        try:
+            out = _transductive_bsr(x, g, y, float(tau), bsr_block,
+                                    bsr_max_tile_bytes)
+        except jax.errors.JaxRuntimeError as e:
+            print(f"transductive bsr mode failed ({str(e).splitlines()[0][:120]}); "
+                  "falling back to sorted")
+            out = None
         if out is not None:
             return out
         mode = "sorted"                            # graph too dense to tile
