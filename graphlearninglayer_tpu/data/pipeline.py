@@ -98,7 +98,7 @@ class BatchLoader:
                  batch_size: int, transform: Transform,
                  shuffle: bool = True, seed: int = 0, workers: int = 8,
                  backend: str = "auto", prefetch: int = 1,
-                 emit: str = "normalized"):
+                 emit: str = "normalized", to_device: bool = False):
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -131,6 +131,13 @@ class BatchLoader:
         if emit not in ("normalized", "uint8"):
             raise ValueError(f"unknown emit mode {emit!r}")
         self.emit = emit
+        # transfer batches to the accelerator inside the producer thread so
+        # the host->device wire time overlaps the previous step's compute
+        # (measured wire-bound floor: benchmarks/probe_transfer_overlap.py).
+        # Through the execution relay the transfer is the dominant per-step
+        # cost (~80 ms for a 4.6 MB uint8 batch), so issuing it one step
+        # ahead hides host augmentation and keeps only the wire serialized.
+        self.to_device = to_device
 
     def __len__(self):
         return len(self.labels) // self.batch_size
@@ -163,12 +170,19 @@ class BatchLoader:
         out = np.stack(out)
         return out if raw else self.transform.normalize(out)
 
+    def _put_device(self, arr):
+        if not self.to_device:
+            return arr
+        import jax
+        return jax.device_put(arr)
+
     def _epoch_iter(self):
         order = (self.rng.permutation(len(self.labels)) if self.shuffle
                  else np.arange(len(self.labels)))
         for i in range(len(self)):
             idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-            yield idx, self._augment_batch(self.images[idx]), self.labels[idx]
+            yield (idx, self._put_device(self._augment_batch(self.images[idx])),
+                   self._put_device(self.labels[idx]))
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         if self.prefetch <= 0:
@@ -182,6 +196,29 @@ class BatchLoader:
         Uses its own RNG stream — safe to call while the prefetch producer
         thread is augmenting training batches."""
         return self._augment_batch(images, rng=self.rng_full), labels
+
+    def base_batches(self, images: np.ndarray, labels: np.ndarray,
+                     count: int | None = None):
+        """Prefetched iterator of ``count`` re-augmented base batches (one
+        per training step of an epoch; default len(self)).
+
+        Equivalent to calling :meth:`full_batch` ``count`` times — same
+        ``rng_full`` stream, same order — but augmentation AND the device
+        transfer (when ``to_device``) run one step ahead in a producer
+        thread, off the training loop's critical path.  Producing exactly
+        ``count`` batches (not an unbounded stream) keeps the RNG stream
+        identical to the synchronous path across base-set refreshes: no
+        prefetched draw is ever discarded."""
+        count = len(self) if count is None else count
+
+        def gen():
+            for _ in range(count):
+                out, lab = self.full_batch(images, labels)
+                yield self._put_device(out), self._put_device(lab)
+
+        if self.prefetch <= 0:
+            return gen()
+        return _prefetched(gen(), 1)
 
 
 def _prefetched(it, depth: int):
@@ -243,4 +280,5 @@ class TwoCropBatchLoader(BatchLoader):
             idx = order[i * self.batch_size:(i + 1) * self.batch_size]
             views = np.stack([self._augment_batch(self.images[idx])
                               for _ in range(self.n_views)], axis=1)
-            yield idx, views, self.labels[idx]
+            yield (idx, self._put_device(views),
+                   self._put_device(self.labels[idx]))

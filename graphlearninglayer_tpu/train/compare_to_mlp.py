@@ -43,7 +43,8 @@ def run_comparison(opt) -> dict:
     ds = ScoredDataset(spec)
     loader = BatchLoader(spec.train_images, spec.train_labels,
                          opt.batch_size, tf, seed=opt.seed,
-                         workers=opt.num_workers, emit="uint8")
+                         workers=opt.num_workers, emit="uint8",
+                         to_device=True)
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim, num_classes=num_classes,
                      softmax=not opt.no_softmax,

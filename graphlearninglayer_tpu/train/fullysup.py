@@ -135,9 +135,13 @@ def run_training(opt) -> dict:
     # uint8 batches + device-side normalization: the train-step transfer is
     # 4x smaller (benchmarks/RESULTS.md), numerics unchanged (same f32
     # formula, just on device)
+    # to_device: batch transfers ride the producer thread, overlapping the
+    # previous step's compute (the relay wire is the per-step floor —
+    # benchmarks/probe_transfer_overlap.py)
     loader = BatchLoader(spec.train_images, spec.train_labels,
                          opt.batch_size, sup_tf, seed=opt.seed,
-                         workers=opt.num_workers, emit="uint8")
+                         workers=opt.num_workers, emit="uint8",
+                         to_device=True)
     step_norm = (sup_tf.mean, sup_tf.std)
     if len(loader) == 0:
         raise ValueError(
@@ -237,11 +241,17 @@ def run_training(opt) -> dict:
                     print("nan value")
             pending.clear()
 
+        # one epoch's worth of re-augmented base batches, produced (and
+        # device-transferred) one step ahead off the critical path; the
+        # fixed count keeps the augmentation RNG stream identical to the
+        # synchronous full_batch() path across base refreshes
+        base_iter = (loader.base_batches(base_imgs, base_labels)
+                     if opt.sup_train_type == "gl" else None)
         with trace_steps(profile_dir, enabled=epoch == profile_epoch):
             for idx, (indices, images, labels) in enumerate(loader):
                 data_time.update(time.time() - end)
-                base_x, base_y = loader.full_batch(base_imgs, base_labels)
                 if opt.sup_train_type == "gl":
+                    base_x, base_y = next(base_iter)
                     state, metrics, scores = gl_step(
                         state, jnp.asarray(base_x), jnp.asarray(base_y),
                         jnp.asarray(images), jnp.asarray(labels),

@@ -42,7 +42,8 @@ def run_supcon(opt, simclr: bool = False) -> dict:
                    else "weak")
     loader = TwoCropBatchLoader(spec.train_images, spec.train_labels,
                                 opt.batch_size, tf, seed=opt.seed,
-                                workers=opt.num_workers, n_views=2, emit="uint8")
+                                workers=opt.num_workers, n_views=2,
+                                emit="uint8", to_device=True)
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim,
                      num_classes=spec.num_classes,

@@ -150,3 +150,46 @@ def test_miniimagenet_transform_geometry(rng):
     assert out.shape == (84, 84, 3) and out.dtype == np.uint8
     norm = tf.normalize(out[None])
     assert norm.dtype == np.float32 and norm.shape == (1, 84, 84, 3)
+
+
+def test_base_batches_matches_full_batch_stream():
+    """base_batches must reproduce the exact full_batch sequence (same
+    rng_full stream, same order) even across base-set refreshes, with the
+    augmentation and device transfer moved to a producer thread."""
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, (64, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 64)
+    base_a = images[:8], labels[:8]
+    base_b = images[8:16], labels[8:16]
+    tf = Transform("synthetic", "weak")
+    mk = lambda: BatchLoader(images, labels, 16, tf, seed=7, workers=0,
+                             backend="pil", prefetch=1)
+    ref_loader, pre_loader = mk(), mk()
+    # two "epochs" (len(loader)=4 steps each) with a refresh in between
+    want = [ref_loader.full_batch(*base_a) for _ in range(4)]
+    want += [ref_loader.full_batch(*base_b) for _ in range(4)]
+    got = list(pre_loader.base_batches(*base_a))
+    got += list(pre_loader.base_batches(*base_b))
+    assert len(got) == 8
+    for (x0, y0), (x1, y1) in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_batchloader_to_device_yields_device_arrays():
+    import jax
+
+    rng = np.random.default_rng(4)
+    images = rng.integers(0, 255, (32, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 32)
+    tf = Transform("synthetic", "weak")
+    loader = BatchLoader(images, labels, 16, tf, seed=7, workers=0,
+                         backend="pil", prefetch=1, to_device=True,
+                         emit="uint8")
+    batches = list(loader)
+    assert len(batches) == 2
+    for _, x, y in batches:
+        assert isinstance(x, jax.Array) and isinstance(y, jax.Array)
+        assert x.dtype == np.uint8
+    (bx, by), = list(loader.base_batches(images[:8], labels[:8], count=1))
+    assert isinstance(bx, jax.Array) and isinstance(by, jax.Array)
