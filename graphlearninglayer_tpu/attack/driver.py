@@ -80,8 +80,12 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
     min_val = jnp.asarray(cfg.min_val)
     max_val = jnp.asarray(cfg.max_val)
 
-    train_x = tf.normalize(spec.train_images)
-    test_x = tf.normalize(spec.test_images)
+    # device-resident eval data: one bulk transfer; per-batch inputs become
+    # on-device slices instead of per-sweep-point re-transfers of the whole
+    # test set through the relay link (same rationale as adversarial_driver)
+    train_x = jax.device_put(tf.normalize(spec.train_images))
+    test_x = jax.device_put(tf.normalize(spec.test_images))
+    test_y = spec.test_labels
 
     results = {}
     targets = ["gl", "mlp"] if model_type == "both" else [model_type]
@@ -117,7 +121,7 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
                 else CW_BASE_RATE)[dataset]
         base_idx = select_base_indices(spec.train_labels, rate * num_classes,
                                        num_classes, "random", rng=rng_np)
-        base_x = jnp.asarray(train_x[base_idx])
+        base_x = jnp.take(train_x, jnp.asarray(base_idx), axis=0)
         base_y = jnp.asarray(spec.train_labels[base_idx])
 
         points = sweep if sweep is not None else (
@@ -135,33 +139,35 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
                    if is_gl else make_mlp_cw_attack(classify,
                                                     iters=cw_iters))
         for point in points:
-            correct = 0
             first_batch = None
-            if attack in ("fgsm", "ifgsm"):
-                for i in range(0, usable, batch_size):
-                    x = jnp.asarray(test_x[i:i + batch_size])
-                    y = jnp.asarray(spec.test_labels[i:i + batch_size])
+            # predictions stay device futures until the sweep point ends so
+            # consecutive attack batches pipeline through the relay
+            preds = []
+            for i in range(0, usable, batch_size):
+                x = jax.lax.slice_in_dim(test_x, i, i + batch_size)
+                if attack in ("fgsm", "ifgsm"):
+                    y = jnp.asarray(test_y[i:i + batch_size])
                     if is_gl:
                         adv, pred = atk(base_x, base_y, x, y, float(point),
                                         attack, min_val, max_val)
                     else:
                         adv, pred = atk(x, y, float(point), attack, min_val,
                                         max_val)
-                    correct += int(np.sum(np.asarray(pred) == np.asarray(y)))
-                    if first_batch is None:
-                        first_batch = (np.asarray(x), np.asarray(adv))
-            else:  # cw
-                for i in range(0, usable, batch_size):
-                    x = jnp.asarray(test_x[i:i + batch_size])
-                    y = spec.test_labels[i:i + batch_size]
+                else:  # cw
                     if is_gl:
                         adv, _, pred = atk(base_x, base_y, x, float(point),
                                            min_val, max_val)
                     else:
                         adv, _, pred = atk(x, float(point), min_val, max_val)
-                    correct += int(np.sum(np.asarray(pred) == y))
-                    if first_batch is None:
-                        first_batch = (np.asarray(x), np.asarray(adv))
+                preds.append(pred)
+                if first_batch is None:
+                    first_batch = (x, adv)
+            correct = int(np.sum(np.concatenate(
+                [np.asarray(p) for p in preds]) == test_y[:usable])) \
+                if preds else 0
+            if first_batch is not None:
+                first_batch = (np.asarray(first_batch[0]),
+                               np.asarray(first_batch[1]))
             acc = correct / max(usable, 1)
             label = "Epsilon" if attack in ("fgsm", "ifgsm") else "c"
             print(f"{label}: {point}\tTest Accuracy = {correct} / {usable}"

@@ -251,13 +251,20 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
         def mlp_pred(params, batch_stats, x):
             return jnp.argmax(apply_logp(params, batch_stats, x), axis=1)
 
-        train_x = tf.normalize(spec.train_images)
-        test_x = tf.normalize(spec.test_images)
+        # Device-resident dataset: one bulk transfer up front instead of
+        # re-shipping every sample each epoch through the relay link
+        # (~55 MB/s; a CIFAR-sized f32 train set costs ~11 s ONCE vs per
+        # epoch).  Batches become on-device row gathers — large contiguous
+        # rows, which TPU gathers handle efficiently (unlike the per-edge
+        # 1-D gathers documented in benchmarks/RESULTS.md).
+        train_x = jax.device_put(tf.normalize(spec.train_images))
+        train_y = jax.device_put(spec.train_labels)
+        test_x = jax.device_put(tf.normalize(spec.test_images))
 
         base_idx = select_base_indices(spec.train_labels,
                                        cfg.base_sample_rate * num_classes,
                                        num_classes, "random", rng=rng_np)
-        base_x = jnp.asarray(train_x[base_idx])
+        base_x = jnp.take(train_x, jnp.asarray(base_idx), axis=0)
         base_y = jnp.asarray(spec.train_labels[base_idx])
 
         print(f"[{target}/{rob_or_nat}/{dataset}] training "
@@ -265,11 +272,16 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
             order = rng_np.permutation(len(spec.train_labels))
-            total_loss, nb = 0.0, 0
+            # losses stay device futures until epoch end so consecutive
+            # steps pipeline (a per-step float() sync costs a full relay
+            # round trip — the dominant per-step latency, see
+            # benchmarks/probe_step_overhead.py)
+            pending = []
             for i in range(steps_per_epoch):
-                sel = order[i * cfg.batch_size:(i + 1) * cfg.batch_size]
-                x = jnp.asarray(train_x[sel])
-                y = jnp.asarray(spec.train_labels[sel])
+                sel = jnp.asarray(
+                    order[i * cfg.batch_size:(i + 1) * cfg.batch_size])
+                x = jnp.take(train_x, sel, axis=0)
+                y = jnp.take(train_y, sel, axis=0)
                 if rob_or_nat == "robust":
                     key = jax.random.PRNGKey(seed + epoch * 1000 + i)
                     if is_gl:
@@ -283,23 +295,27 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                     state, loss = gl_train_step(state, base_x, base_y, x, y)
                 else:
                     state, loss = mlp_train_step(state, x, y)
-                total_loss += float(loss)
-                nb += 1
+                pending.append(loss)
+            total_loss = float(np.sum(np.asarray(jnp.stack(pending))))
+            nb = len(pending)
             print(f"[{target}/{rob_or_nat}/{dataset}] epoch {epoch} "
                   f"avg loss {total_loss / nb:.4f} "
                   f"({time.time() - t0:.1f}s)")
 
             # per-epoch eval (test / test_GL, train_and_adversarial.py:960-969)
-            correct, count = 0, 0
             usable = (len(spec.test_labels) // cfg.batch_size) * cfg.batch_size
+            preds = []
             for j in range(0, usable, cfg.batch_size):
-                xb = jnp.asarray(test_x[j:j + cfg.batch_size])
-                pred = (gl_pred(state.params, state.batch_stats, base_x,
-                                base_y, xb) if is_gl
-                        else mlp_pred(state.params, state.batch_stats, xb))
-                correct += int(np.sum(np.asarray(pred) ==
-                                      spec.test_labels[j:j + cfg.batch_size]))
-                count += cfg.batch_size
+                xb = jax.lax.slice_in_dim(test_x, j, j + cfg.batch_size)
+                preds.append(gl_pred(state.params, state.batch_stats, base_x,
+                                     base_y, xb) if is_gl
+                             else mlp_pred(state.params, state.batch_stats,
+                                           xb))
+            correct = int(np.sum(np.concatenate([np.asarray(p)
+                                                 for p in preds])
+                                 == spec.test_labels[:usable])) if preds \
+                else 0
+            count = usable
             acc = correct / max(count, 1)
             print(f"  test acc: {acc:.4f}")
             results[f"{target}_acc"] = acc
