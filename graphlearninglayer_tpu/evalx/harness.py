@@ -18,28 +18,34 @@ __all__ = ["encode_dataset", "test_network", "test_gl_transductive"]
 
 
 def encode_dataset(encode_step, state: TrainState, images: np.ndarray,
-                   normalize_fn, batch_size: int = 1024) -> np.ndarray:
+                   normalize_fn=None, batch_size: int = 1024) -> np.ndarray:
     """Feature extraction over a dataset in fixed-size device batches
     (loader_to_numpy, utils.py:241-267).  The tail batch is padded to keep a
-    single compiled shape and trimmed after."""
-    feats = []
+    single compiled shape and trimmed after.
+
+    ``normalize_fn=None`` ships chunks as-is (raw uint8 when ``encode_step``
+    was built with ``norm=(mean, std)`` — 4x smaller transfers).  Feature
+    results stay device futures until all chunks are dispatched so each
+    chunk's host->device transfer overlaps the previous chunk's encode."""
+    futs = []
     n = len(images)
     for i in range(0, n, batch_size):
         chunk = images[i:i + batch_size]
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, chunk[:pad]], axis=0)
-        x = jnp.asarray(normalize_fn(chunk))
-        f = np.asarray(encode_step(state, x))
-        feats.append(f[: len(images[i:i + batch_size])])
-    return np.concatenate(feats, axis=0)
+        if normalize_fn is not None:
+            chunk = normalize_fn(chunk)
+        futs.append((encode_step(state, jnp.asarray(chunk)),
+                     len(images[i:i + batch_size])))
+    return np.concatenate([np.asarray(f)[:real] for f, real in futs], axis=0)
 
 
 def test_network(model, state: TrainState, base_images, base_labels,
                  test_images, test_labels, num_classes: int, tau: float,
                  epsilon="auto", k: int = 25, batch_size: int = 1250,
                  solver: str = "cholesky", normalize_fn=None,
-                 predictor: str = "GL") -> float:
+                 predictor: str = "GL", norm=None) -> float:
     """Per-batch network accuracy (test_network, utils.py:596-634).
 
     predictor='GL': each test batch is classified by the network + graph
@@ -49,32 +55,37 @@ def test_network(model, state: TrainState, base_images, base_labels,
     is padded to the compiled shape (repeating its rows) and only the real
     rows are scored — the reference instead runs a smaller final graph;
     deviation noted in PARITY.md.
+
+    ``norm=(mean, std)``: ship raw uint8 test batches and normalize inside
+    the jitted step (4x smaller transfers); otherwise ``normalize_fn`` runs
+    on host.  Predictions stay device futures until all batches are
+    dispatched so transfers pipeline with compute.
     """
     if predictor == "GL":
         gl_step = make_gl_eval_step(model, num_classes, tau, epsilon, k,
-                                    solver)
+                                    solver, norm=norm)
     elif predictor == "MLP":
-        mlp_step = make_mlp_eval_step(model)
+        mlp_step = make_mlp_eval_step(model, norm=norm)
     else:
         raise ValueError(predictor)
-    norm = normalize_fn if normalize_fn is not None else (lambda a: a)
+    host_norm = normalize_fn if (normalize_fn is not None and norm is None) \
+        else (lambda a: a)
     if predictor == "GL":
-        base_x = jnp.asarray(norm(np.asarray(base_images)))
+        base_x = jnp.asarray(host_norm(np.asarray(base_images)))
         base_y = jnp.asarray(base_labels)
-    correct = 0
     n = len(test_images)
+    futs = []
     for i in range(0, n, batch_size):
         chunk = test_images[i:i + batch_size]
         real = len(chunk)
         if real < batch_size:
             chunk = chunk[np.arange(batch_size) % real]
-        x = jnp.asarray(norm(np.asarray(chunk)))
-        if predictor == "GL":
-            pred = gl_step(state, base_x, base_y, x)
-        else:
-            pred = mlp_step(state, x)
-        correct += int(np.sum(np.asarray(pred)[:real] ==
-                              test_labels[i:i + real]))
+        x = jnp.asarray(host_norm(np.asarray(chunk)))
+        futs.append(((gl_step(state, base_x, base_y, x) if predictor == "GL"
+                      else mlp_step(state, x)), i, real))
+    correct = sum(int(np.sum(np.asarray(p)[:real] ==
+                             test_labels[i:i + real]))
+                  for p, i, real in futs)
     acc = 100.0 * correct / max(n, 1)
     print(f"Test set: Accuracy for {predictor} predictor: {correct}/{n} "
           f"({acc:.2f}%)\n")
@@ -85,19 +96,22 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
                          test_images, test_labels, normalize_fn,
                          num_classes: int, train_images=None,
                          knn_num: int = 50, epsilon="auto",
-                         tau: float = 1e-8, batch_size: int = 1024) -> float:
+                         tau: float = 1e-8, batch_size: int = 1024,
+                         norm=None) -> float:
     """Full transductive eval (test_GL_NP, utils.py:637-660): features of
     base + (optional) unlabeled-train + test, one big k=50 graph, CG solve;
-    accuracy on the test slice."""
-    encode_step = make_encode_step(model)
-    base_f = encode_dataset(encode_step, state, base_images, normalize_fn,
+    accuracy on the test slice.  ``norm=(mean, std)``: raw uint8 transfer
+    + device-side normalization (``normalize_fn`` is then unused)."""
+    encode_step = make_encode_step(model, norm=norm)
+    host_norm = normalize_fn if norm is None else None
+    base_f = encode_dataset(encode_step, state, base_images, host_norm,
                             batch_size)
-    test_f = encode_dataset(encode_step, state, test_images, normalize_fn,
+    test_f = encode_dataset(encode_step, state, test_images, host_norm,
                             batch_size)
     parts = [base_f]
     if train_images is not None:
         parts.append(encode_dataset(encode_step, state, train_images,
-                                    normalize_fn, batch_size))
+                                    host_norm, batch_size))
     parts.append(test_f)
     all_f = jnp.asarray(np.concatenate(parts, axis=0))
     y = jnp.asarray(np.eye(num_classes, dtype=np.float32)[base_labels])

@@ -140,7 +140,7 @@ def main(argv=None):
     print(f"restored checkpoint epoch {epoch} from {args.ckpt}")
 
     save_dir = args.save_dir or args.ckpt
-    encode_step = make_encode_step(model)
+    encode_step = make_encode_step(model, norm=(tf.mean, tf.std))
     rng = np.random.default_rng(args.seed)
     splits = {"train": (spec.train_images, spec.train_labels),
               "test": (spec.test_images, spec.test_labels)}
@@ -149,7 +149,7 @@ def main(argv=None):
         if len(images) > args.max_points:
             sel = rng.permutation(len(images))[: args.max_points]
             images, labels = images[sel], labels[sel]
-        f = encode_dataset(encode_step, state, images, tf.normalize)
+        f = encode_dataset(encode_step, state, images)
         feats[name] = (f, labels)
         visualize(f, labels, save_dir, tsne=args.tsne, seed=args.seed,
                   prefix=f"{args.dataset}_{name}")

@@ -194,19 +194,22 @@ def run_training(opt) -> dict:
         # reports the transductive accuracy; the mlp branch also runs the
         # transductive eval (discarded, matching the reference's `_ =`) and
         # reports test_network with the MLP predictor
+        # norm=(mean,std): uint8 eval transfers + device-side normalization
+        # (the eval encode otherwise ships the full train+test sets as f32
+        # through the ~55 MB/s relay link every eval)
+        eval_norm = (eval_tf.mean, eval_tf.std)
         tacc = test_gl_transductive(
             model, state, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
-            tau=opt.tau)
+            tau=opt.tau, norm=eval_norm)
         if opt.sup_train_type == "mlp":
             return test_network(
                 model, state, base_imgs, base_labels, spec.test_images,
                 spec.test_labels, num_classes, tau=opt.temp,
                 epsilon=opt.epsilon, k=opt.knn_k,
                 batch_size=min(opt.test_batch_size, len(spec.test_images)),
-                solver=opt.gl_solver, normalize_fn=eval_tf.normalize,
-                predictor="MLP")
+                solver=opt.gl_solver, predictor="MLP", norm=eval_norm)
         return tacc
 
     # epoch-0 eval (FullySup.py:255)
@@ -232,12 +235,21 @@ def run_training(opt) -> dict:
         pending_scores = []   # (dataset indices, device scores)
 
         def flush_metrics():
-            for m, n_lab in pending:
-                losses.update(float(m["loss"]), n_lab)
-                accs.update(float(m["acc"]), n_lab)
+            if not pending:
+                return
+            # ONE stacked device->host fetch for the whole pending window:
+            # fetching each scalar individually costs a relay round trip per
+            # value (~3 ms dispatch floor each; 3x per step)
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack([m["loss"], m["acc"],
+                            m.get("params_finite", jnp.asarray(True))
+                            .astype(jnp.float32)]) for m, _ in pending]))
+            for (m, n_lab), row in zip(pending, stacked):
+                losses.update(float(row[0]), n_lab)
+                accs.update(float(row[1]), n_lab)
                 # per-step param NaN sweep (FullySup.py:188-190); computed
                 # on device inside the step, surfaced at flush boundaries
-                if not bool(m.get("params_finite", True)):
+                if not bool(row[2]):
                     print("nan value")
             pending.clear()
 
@@ -308,11 +320,10 @@ def run_training(opt) -> dict:
         from ..evalx import encode_dataset, visualize
         from ..train.trainer import make_encode_step
 
-        encode_step = make_encode_step(model)
-        test_f = encode_dataset(encode_step, state, spec.test_images,
-                                eval_tf.normalize)
-        base_f = encode_dataset(encode_step, state, base_imgs,
-                                eval_tf.normalize)
+        encode_step = make_encode_step(model, norm=(eval_tf.mean,
+                                                    eval_tf.std))
+        test_f = encode_dataset(encode_step, state, spec.test_images)
+        base_f = encode_dataset(encode_step, state, base_imgs)
         feats = np.concatenate([base_f, test_f])
         labels_v = np.concatenate([base_labels, spec.test_labels])
         base_mask = np.zeros(len(feats), bool)

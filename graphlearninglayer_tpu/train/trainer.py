@@ -214,14 +214,17 @@ def make_mlp_train_step(model, tx: optax.GradientTransformation,
 
 
 def make_gl_eval_step(model, num_classes: int, tau: float, epsilon="auto",
-                      k: int = 25, solver: str = "cholesky") -> Callable:
+                      k: int = 25, solver: str = "cholesky",
+                      norm=None) -> Callable:
     """test_network equivalent (utils.py:596-634): classify a test batch by
-    running the network + graph head against one base batch."""
+    running the network + graph head against one base batch.
+    ``norm=(mean, std)``: accept uint8 inputs, normalize on device."""
 
     @jax.jit
     def step(state: TrainState, base_images, base_labels, images):
-        x = jnp.concatenate([base_images, images], axis=0)
-        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+        x = jnp.concatenate([_device_normalize(base_images, norm),
+                             _device_normalize(images, norm)], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
         (_, features), _ = _apply(model, state.params, state.batch_stats, x,
                                   train=False)
         pred = laplace_learning(features, y, tau=tau, epsilon=epsilon, k=k,
@@ -231,26 +234,29 @@ def make_gl_eval_step(model, num_classes: int, tau: float, epsilon="auto",
     return step
 
 
-def make_mlp_eval_step(model) -> Callable:
+def make_mlp_eval_step(model, norm=None) -> Callable:
     """test_network's MLP predictor branch (utils.py:621-624): classify a
     test batch with the aux classifier head alone."""
 
     @jax.jit
     def step(state: TrainState, images):
-        (pred, _), _ = _apply(model, state.params, state.batch_stats, images,
-                              train=False)
+        (pred, _), _ = _apply(model, state.params, state.batch_stats,
+                              _device_normalize(images, norm), train=False)
         return jnp.argmax(pred, axis=1)
 
     return step
 
 
-def make_encode_step(model) -> Callable:
-    """Feature-extraction step (loader_to_numpy equivalent, utils.py:241-267)."""
+def make_encode_step(model, norm=None) -> Callable:
+    """Feature-extraction step (loader_to_numpy equivalent, utils.py:241-267).
+    ``norm=(mean, std)``: accept raw uint8 batches and normalize on device —
+    the eval-path transfer is 4x smaller through the relay link."""
 
     @jax.jit
     def step(state: TrainState, images):
         (_, features), _ = _apply(model, state.params, state.batch_stats,
-                                  images, train=False)
+                                  _device_normalize(images, norm),
+                                  train=False)
         return features
 
     return step
