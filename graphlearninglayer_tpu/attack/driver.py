@@ -23,6 +23,7 @@ from ..train.adversarial_driver import (DATASET_CONFIGS, build_network,
                                         _make_schedule, _make_tx)
 from ..train.trainer import TrainState, _apply, create_train_state
 from ..utils.checkpoint import restore_checkpoint
+from ..utils.meters import drain_correct
 from .cw import make_gl_cw_attack, make_mlp_cw_attack
 from .fgsm import make_gl_fast_gradient_attack, make_mlp_fast_gradient_attack
 
@@ -80,10 +81,11 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
     min_val = jnp.asarray(cfg.min_val)
     max_val = jnp.asarray(cfg.max_val)
 
-    # device-resident eval data: one bulk transfer; per-batch inputs become
-    # on-device slices instead of per-sweep-point re-transfers of the whole
-    # test set through the relay link (same rationale as adversarial_driver)
-    train_x = jax.device_put(tf.normalize(spec.train_images))
+    # device-resident TEST set: one bulk transfer; per-batch attack inputs
+    # become on-device slices instead of per-sweep-point re-transfers
+    # through the relay link.  The train set is only ever read for the few
+    # base rows, so those are gathered on host and shipped alone.
+    train_x = tf.normalize(spec.train_images)
     test_x = jax.device_put(tf.normalize(spec.test_images))
     test_y = spec.test_labels
 
@@ -121,7 +123,7 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
                 else CW_BASE_RATE)[dataset]
         base_idx = select_base_indices(spec.train_labels, rate * num_classes,
                                        num_classes, "random", rng=rng_np)
-        base_x = jnp.take(train_x, jnp.asarray(base_idx), axis=0)
+        base_x = jnp.asarray(train_x[base_idx])
         base_y = jnp.asarray(spec.train_labels[base_idx])
 
         points = sweep if sweep is not None else (
@@ -162,9 +164,7 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
                 preds.append(pred)
                 if first_batch is None:
                     first_batch = (x, adv)
-            correct = int(np.sum(np.concatenate(
-                [np.asarray(p) for p in preds]) == test_y[:usable])) \
-                if preds else 0
+            correct = drain_correct(preds, test_y[:usable])
             if first_batch is not None:
                 first_batch = (np.asarray(first_batch[0]),
                                np.asarray(first_batch[1]))

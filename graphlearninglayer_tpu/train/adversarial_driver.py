@@ -34,6 +34,7 @@ from ..models import (PreActResNetFeat, SmallCNN, SmallCNNGL, l2_normalize,
                       resnet18)
 from ..ops import laplace_learning
 from ..utils.checkpoint import save_checkpoint
+from ..utils.meters import drain_correct
 from .losses import custom_ce_loss
 from .trainer import TrainState, _apply, create_train_state
 
@@ -311,10 +312,7 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                                      base_y, xb) if is_gl
                              else mlp_pred(state.params, state.batch_stats,
                                            xb))
-            correct = int(np.sum(np.concatenate([np.asarray(p)
-                                                 for p in preds])
-                                 == spec.test_labels[:usable])) if preds \
-                else 0
+            correct = drain_correct(preds, spec.test_labels[:usable])
             count = usable
             acc = correct / max(count, 1)
             print(f"  test acc: {acc:.4f}")

@@ -13,7 +13,19 @@ import numpy as np
 
 __all__ = ["AverageMeter", "AverageMeterSet", "Throughput", "topk_accuracy",
            "FileLogger", "parameters_string", "parameter_count",
-           "UnifLabelSampler"]
+           "UnifLabelSampler", "drain_correct"]
+
+
+def drain_correct(preds, labels) -> int:
+    """Count correct predictions from a list of DEVICE prediction vectors.
+
+    The deferred-futures eval pattern: dispatch every batch first so
+    transfers/compute pipeline through the relay, then sync all results
+    with one pass here.  ``labels`` must cover the concatenated length."""
+    if not preds:
+        return 0
+    return int(np.sum(np.concatenate([np.asarray(p) for p in preds])
+                      == np.asarray(labels)))
 
 
 class AverageMeter:

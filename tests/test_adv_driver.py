@@ -35,7 +35,7 @@ def tiny_cfg(monkeypatch, tmp_path):
 def test_natural_gl_training_learns(tiny_cfg):
     res = ad.run("gl", "natural", "synthetic", save_dir=str(tiny_cfg))
     assert np.isfinite(res["gl_acc"])
-    assert res["gl_acc"] > 0.4  # well above 4-class chance
+    assert res["gl_acc"] > 0.4  # well above 10-class chance (0.1)
     assert (tiny_cfg / "synthetic_gl_natural").is_dir()
 
 
