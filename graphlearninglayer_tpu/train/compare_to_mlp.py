@@ -104,8 +104,10 @@ def run_comparison(opt) -> dict:
             # device->host round trip (benchmarks/probe_step_overhead.py)
             mlp_m.append(mlp_loss)
             gl_m.append(gl_loss)
-        records["mlp_loss"].append(float(np.mean([float(v) for v in mlp_m])))
-        records["gl_loss"].append(float(np.mean([float(v) for v in gl_m])))
+        # ONE stacked fetch per epoch (a float() per scalar costs a relay
+        # round trip each)
+        records["mlp_loss"].append(float(np.mean(np.asarray(jnp.stack(mlp_m)))))
+        records["gl_loss"].append(float(np.mean(np.asarray(jnp.stack(gl_m)))))
         print(f"epoch {epoch}: mlp loss {records['mlp_loss'][-1]:.4f}  "
               f"gl loss {records['gl_loss'][-1]:.4f}  "
               f"({time.time() - t0:.1f}s)")

@@ -91,8 +91,10 @@ def run_supcon(opt, simclr: bool = False) -> dict:
                                jnp.asarray(labels),
                                jax.random.PRNGKey(opt.seed + epoch * 10000
                                                   + i))
-            losses.append(float(loss))
-        records["loss"].append(float(np.mean(losses)))
+            # device future; a per-step float() would serialize on the
+            # relay round trip
+            losses.append(loss)
+        records["loss"].append(float(np.mean(np.asarray(jnp.stack(losses)))))
         print(f"supcon epoch {epoch}: loss {records['loss'][-1]:.4f} "
               f"({time.time() - t0:.1f}s)")
     save_checkpoint(os.path.join(opt.save_folder, "supcon"), state,

@@ -193,3 +193,68 @@ def test_batchloader_to_device_yields_device_arrays():
         assert x.dtype == np.uint8
     (bx, by), = list(loader.base_batches(images[:8], labels[:8], count=1))
     assert isinstance(bx, jax.Array) and isinstance(by, jax.Array)
+
+
+def _write_idx(path, arr):
+    import struct
+
+    arr = np.asarray(arr, np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def test_mnist_idx_reader(tmp_path, monkeypatch):
+    """The real-data path: IDX files laid out like torchvision's mnist/raw
+    are read byte-exactly (reference torchvision.datasets.MNIST)."""
+    from graphlearninglayer_tpu.data import load_dataset
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mnist"
+    d.mkdir()
+    tri = rng.integers(0, 256, (32, 28, 28), dtype=np.uint8)
+    tei = rng.integers(0, 256, (8, 28, 28), dtype=np.uint8)
+    trl = rng.integers(0, 10, 32).astype(np.uint8)
+    tel = rng.integers(0, 10, 8).astype(np.uint8)
+    _write_idx(d / "train-images-idx3-ubyte", tri)
+    _write_idx(d / "train-labels-idx1-ubyte", trl)
+    _write_idx(d / "t10k-images-idx3-ubyte", tei)
+    _write_idx(d / "t10k-labels-idx1-ubyte", tel)
+    monkeypatch.setenv("GLL_DATA_DIR", str(tmp_path))
+    spec = load_dataset("mnist")
+    assert spec.train_images.shape == (32, 28, 28, 1)
+    np.testing.assert_array_equal(spec.train_images[..., 0], tri)
+    np.testing.assert_array_equal(spec.test_labels, tel.astype(np.int64))
+
+
+def test_cifar10_pickle_reader(tmp_path, monkeypatch):
+    """The real-data path: cifar-10-batches-py pickles (CHW byte rows) are
+    decoded to uint8 NHWC across the five train batches."""
+    import pickle
+
+    from graphlearninglayer_tpu.data import load_dataset
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    all_imgs, all_labels = [], []
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (4, 3 * 32 * 32), dtype=np.uint8)
+        labels = rng.integers(0, 10, 4).tolist()
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        all_imgs.append(data)
+        all_labels += labels
+    tdata = rng.integers(0, 256, (4, 3 * 32 * 32), dtype=np.uint8)
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump({b"data": tdata, b"labels": [0, 1, 2, 3]}, f)
+    monkeypatch.setenv("GLL_DATA_DIR", str(tmp_path))
+    spec = load_dataset("cifar10")
+    assert spec.train_images.shape == (20, 32, 32, 3)
+    want = np.concatenate(all_imgs).reshape(-1, 3, 32, 32).transpose(
+        0, 2, 3, 1)
+    np.testing.assert_array_equal(spec.train_images, want)
+    np.testing.assert_array_equal(spec.train_labels, np.asarray(all_labels))
+    assert spec.test_images.shape == (4, 32, 32, 3)
