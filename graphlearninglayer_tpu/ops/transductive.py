@@ -192,6 +192,12 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
         try:
             out = _transductive_bsr(x, g, y, float(tau), bsr_block,
                                     bsr_max_tile_bytes)
+            if out is not None:
+                # Force execution INSIDE the guard: dispatch is async, so an
+                # execution-time OOM would otherwise surface later at the
+                # caller's sync, outside this try (observed at n=120k).
+                jax.block_until_ready(out)
+                np.asarray(jax.device_get(out[:1]))
         except jax.errors.JaxRuntimeError as e:
             print(f"transductive bsr mode failed ({str(e).splitlines()[0][:120]}); "
                   "falling back to sorted")
