@@ -64,3 +64,44 @@ def test_grad_through_stacked_inputs(rng):
     assert g.shape == x.shape
     assert np.all(np.isfinite(g))
     assert np.linalg.norm(g[: k_lab]) > 0  # labeled rows receive gradient too
+
+
+@pytest.mark.parametrize("mode", ["dense", "edge"])
+@pytest.mark.parametrize("epsilon", ["auto", 1.2])
+def test_vjp_matches_autodiff_through_solver(rng, mode, epsilon):
+    """Machine-precision check of the hand-derived backward: differentiate
+    straight THROUGH the forward computation (no custom_vjp) and compare.
+
+    JAX's built-in VJPs for top_k (gradient flows to the selected entries,
+    selection fixed) and gather implement exactly the reference's
+    subgradient convention for the KNN structure and the k-th-neighbor
+    bandwidth, so reverse-mode through ``_forward`` IS the exact implicit
+    gradient the custom backward claims to compute (incl. the auto-eps
+    term, GLL.py:124-142).  Requires solver='cholesky' (reverse-mode
+    cannot cross the CG while_loop).
+    """
+    from graphlearninglayer_tpu.ops.laplace import (LaplaceConfig, _forward,
+                                                    _laplace_op)
+
+    n, d, k_lab, l, k = 48, 5, 12, 3, 6
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    labels = rng.integers(0, l, k_lab)
+    y = jnp.asarray(np.eye(l)[labels], jnp.float64)
+    gbar = jnp.asarray(rng.normal(size=(n - k_lab, l)), jnp.float64)
+    cfg = LaplaceConfig(tau=0.05,
+                        epsilon=epsilon if isinstance(epsilon, str)
+                        else float(epsilon),
+                        k=k, solver="cholesky", mode=mode,
+                        use_pallas="never" if mode == "dense" else "auto")
+
+    def loss_custom(xv):
+        return jnp.vdot(gbar, _laplace_op(cfg, xv, y))
+
+    def loss_autodiff(xv):
+        pred, _ = _forward(cfg, xv, y)
+        return jnp.vdot(gbar, pred)
+
+    g_custom = jax.grad(loss_custom)(x)
+    g_auto = jax.grad(loss_autodiff)(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
+                               rtol=1e-9, atol=1e-11)
