@@ -56,9 +56,22 @@ def _build(x, knn_num: int, epsilon, knn_block: int):
     return build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
 
 
+def _finish(result, tol: float = 1e-10):
+    """Unpack (pred, iters, err) from a solve and surface the reference's
+    CG non-convergence warning (GLL.py:273-274) host-side."""
+    pred, iters, err = result
+    if float(np.asarray(err)) > tol:
+        print(f"max iter reached:  {int(iters)}  iters")
+    return pred
+
+
 def _jacobi_cg(matvec, deg, y, tau, k_lab):
     """Shared solve tail: Pred = M cg(M Luu M, M (W_ul Y)) on unlabeled rows,
-    M = diag(Luu)^(-1/2) (reference utils.py:584-592)."""
+    M = diag(Luu)^(-1/2) (reference utils.py:584-592).
+
+    Returns (pred, iters, final_err) — the caller surfaces the reference's
+    'not converging' warning (GLL.py:273-274) host-side, since in-jit
+    prints are unavailable on this backend."""
     n = deg.shape[0]
     m = n - k_lab
     l = y.shape[1]
@@ -74,8 +87,9 @@ def _jacobi_cg(matvec, deg, y, tau, k_lab):
         wp = matvec(p_full)[k_lab:]
         return mscale[:, None] * (diag[:, None] * p - wp)
 
-    z = stable_conjgrad(mv, mscale[:, None] * rhs)
-    return mscale[:, None] * z
+    z, iters, err = stable_conjgrad(mv, mscale[:, None] * rhs,
+                                    return_info=True)
+    return mscale[:, None] * z, iters, err
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -123,10 +137,10 @@ def _solve_bsr(plan, y, block: int, smax: int, ovf_cap: int, tau: float):
     mat = build_bsr_mat(plan, w, block, smax, ovf_cap)
     deg = sym_rowsum(gp, w)
     y_perm = y[plan.perm[:k_lab]]
-    out = _jacobi_cg(lambda p: bsr_spmm(mat, p, gp.n), deg, y_perm, tau,
-                     k_lab)
+    out, iters, err = _jacobi_cg(lambda p: bsr_spmm(mat, p, gp.n), deg,
+                                 y_perm, tau, k_lab)
     # back to original (unlabeled) row order
-    return out[plan.inv[k_lab:] - k_lab]
+    return out[plan.inv[k_lab:] - k_lab], iters, err
 
 
 def _transductive_bsr(x, g, y, tau: float, block: int, max_tile_bytes: int):
@@ -190,29 +204,29 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
         # memory at compile/execute, degrade to 'sorted' instead of killing
         # a long training run mid-eval.
         try:
-            out = _transductive_bsr(x, g, y, float(tau), bsr_block,
+            res = _transductive_bsr(x, g, y, float(tau), bsr_block,
                                     bsr_max_tile_bytes)
-            if out is not None:
+            if res is not None:
                 # Force execution INSIDE the guard: dispatch is async, so an
                 # execution-time OOM would otherwise surface later at the
                 # caller's sync, outside this try (observed at n=120k).
-                jax.block_until_ready(out)
-                np.asarray(jax.device_get(out[:1]))
+                jax.block_until_ready(res[0])
+                np.asarray(jax.device_get(res[0][:1]))
         except jax.errors.JaxRuntimeError as e:
             print(f"transductive bsr mode failed ({str(e).splitlines()[0][:120]}); "
                   "falling back to sorted")
-            out = None
-        if out is not None:
-            return out
+            res = None
+        if res is not None:
+            return _finish(res)
         mode = "sorted"                            # graph too dense to tile
     if mode == "sorted":
-        return _solve_sorted(g, y, float(tau))
+        return _finish(_solve_sorted(g, y, float(tau)))
     if mode == "scatter":
-        return _solve_scatter(g, y, float(tau))
+        return _finish(_solve_scatter(g, y, float(tau)))
     # ELL width = bucketed max in-degree, bounded by ell_cap_limit; incoming
     # edges of hub rows beyond the bound go to the COO overflow list (its
     # static size is bucketed too, bounding retraces).
     cap = min(ell_cap(int(max_in_degree(g))), ell_cap_limit)
     ovf = int(overflow_count(g, cap))
     ovf_cap = 0 if ovf == 0 else -(-ovf // 4096) * 4096
-    return _solve_ell(g, y, cap, ovf_cap, float(tau))
+    return _finish(_solve_ell(g, y, cap, ovf_cap, float(tau)))

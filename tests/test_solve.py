@@ -44,3 +44,17 @@ def test_stable_conjgrad_column_masking(rng):
     assert np.all(got[:, 1] == 0.0)
     np.testing.assert_allclose(got[:, [0, 2]],
                                np.linalg.solve(a, b[:, [0, 2]]), atol=1e-7)
+
+
+def test_transductive_nonconvergence_warning(capsys):
+    """The reference's 'max iter reached' CG warning (GLL.py:273-274) is
+    surfaced host-side by the eval wrapper."""
+    import jax.numpy as jnp
+
+    from graphlearninglayer_tpu.ops.transductive import _finish
+
+    out = _finish((jnp.ones((3, 2)), jnp.asarray(7), jnp.asarray(1e-3)))
+    assert out.shape == (3, 2)
+    assert "max iter reached" in capsys.readouterr().out
+    _finish((jnp.ones((3, 2)), jnp.asarray(7), jnp.asarray(1e-12)))
+    assert "max iter" not in capsys.readouterr().out
