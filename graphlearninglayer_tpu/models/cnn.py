@@ -102,7 +102,11 @@ class CifarCNN(nn.Module):
         x = act(norm()(_WNConv(512, (3, 3), padding=0, dtype=self.dtype)(x)))
         x = act(norm()(_WNConv(256, (1, 1), dtype=self.dtype)(x)))
         x = act(norm()(_WNConv(128, (1, 1), dtype=self.dtype)(x)))
-        x = nn.avg_pool(x, (6, 6), strides=(2, 2))
+        # reference pools a fixed 6x6 window (cifarcnn.py) — correct only
+        # for 32x32 inputs (6x6 pre-pool); clamp to the spatial extent so
+        # 28x28 inputs (5x5 pre-pool) work while 32x32 stays bit-identical
+        win = (min(6, x.shape[1]), min(6, x.shape[2]))
+        x = nn.avg_pool(x, win, strides=(2, 2))
         x = x.reshape(x.shape[0], 128)
         return l2_normalize(x.astype(jnp.float32))
 

@@ -58,8 +58,15 @@ class WideResNet(nn.Module):
                                    momentum=0.9, epsilon=1e-5,
                                    dtype=self.dtype)(out))
         # pool in float32 and return float32 features regardless of compute
-        # dtype (feature-boundary precision convention shared by all encoders)
-        out = nn.avg_pool(out.astype(jnp.float32), (8, 8), strides=(8, 8))
+        # dtype (feature-boundary precision convention shared by all encoders).
+        # The reference pools with a fixed 8x8 window (wrn.py:83) — correct
+        # only for 32x32 inputs; clamping the window to the spatial extent
+        # keeps it bit-identical there while supporting smaller inputs
+        # (28x28 -> 7x7 pre-pool, where a fixed 8 yields a zero-size output)
+        # and matching the reference's flatten on larger ones (84x84 -> 2x2
+        # windows -> 4x width features).
+        win = (min(8, out.shape[1]), min(8, out.shape[2]))
+        out = nn.avg_pool(out.astype(jnp.float32), win, strides=win)
         return out.reshape(out.shape[0], -1)
 
 

@@ -7,6 +7,7 @@ from graphlearninglayer_tpu.models import (BuildNet, CifarCNN, CustomCNN,
                                            SmallCNN, SmallCNNGL,
                                            preact_resnet18, resnet18,
                                            wrn_28_2)
+from graphlearninglayer_tpu.models.buildnet import model_dict
 
 
 def _init_apply(model, shape, train=False):
@@ -123,3 +124,21 @@ def test_smallcnn_zero_init_final_linear():
     variables = m.init(jax.random.PRNGKey(0), x, train=False)
     out = m.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.log(0.1), atol=1e-6)
+
+
+@pytest.mark.parametrize("size", [28, 32])
+@pytest.mark.parametrize("name", sorted(model_dict))
+def test_buildnet_every_encoder_every_input_size(name, size):
+    """Every registered encoder must compose with BuildNet at both the
+    28x28 (MNIST-family) and 32x32 (CIFAR-family) geometries — a fixed
+    pooling window that assumes 32x32 yields zero-size features at 28x28
+    (caught live with wrn-28-2)."""
+    import jax
+
+    model = BuildNet(name=name, head="mlp", feat_dim=16, num_classes=4)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    pred, feat = model.apply(variables, x, train=False)
+    assert pred.shape == (2, 4)
+    assert feat.shape == (2, 16)
+    assert bool(jnp.all(jnp.isfinite(feat)))
