@@ -187,23 +187,34 @@ def _load_miniimagenet() -> DatasetSpec | None:
             return None
         import PIL.Image
 
+        # ONE class->index mapping over the union of both trees: indexing
+        # each split independently silently misaligns labels whenever the
+        # splits' class-directory sets differ (e.g. episodic layouts with
+        # disjoint train/val classes)
+        def class_dirs(d):
+            return sorted(e for e in os.listdir(d)
+                          if os.path.isdir(os.path.join(d, e)))
+
+        classes = sorted(set(class_dirs(root)) | set(class_dirs(test_dir)))
+        class_to_idx = {c: i for i, c in enumerate(classes)}
+        img_exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
         def read_tree(d):
             imgs, labels = [], []
-            classes = sorted(e for e in os.listdir(d)
-                             if os.path.isdir(os.path.join(d, e)))
-            for ci, cname in enumerate(classes):
+            for cname in class_dirs(d):
                 cdir = os.path.join(d, cname)
                 for fn in sorted(os.listdir(cdir)):
+                    if not fn.lower().endswith(img_exts):
+                        continue  # stray non-image files (.DS_Store, ...)
                     with PIL.Image.open(os.path.join(cdir, fn)) as im:
                         arr = np.asarray(im.convert("RGB"), np.uint8)
                     imgs.append(arr)
-                    labels.append(ci)
+                    labels.append(class_to_idx[cname])
             return np.stack(imgs), np.asarray(labels, np.int64)
 
         tri, trl = read_tree(root)
         tei, tel = read_tree(test_dir)
-        return DatasetSpec("miniimagenet", tri, trl, tei, tel,
-                           int(trl.max()) + 1)
+        return DatasetSpec("miniimagenet", tri, trl, tei, tel, len(classes))
     return None
 
 

@@ -56,12 +56,12 @@ from .solve import cholesky_factor, stable_conjgrad
 
 __all__ = ["LaplaceConfig", "laplace_learning", "GRAD_NORM_WARN_THRESHOLD"]
 
-# Exploding-gradient guard in the op backward (reference
-# train_and_adversarial.py:177-183, threshold from the canonical commented
-# check GLL.py:161-165).  When ||dX||_F exceeds the threshold a warning is
-# printed from device via jax.debug.print.  Set to 0/None to disable
-# (read at trace time).
-GRAD_NORM_WARN_THRESHOLD: float | None = 10_000.0
+# Exploding-gradient guard in the op backward: the reference's ACTIVE
+# check warns when ||dX||_F > 10 (train_and_adversarial.py:177-183; the
+# commented-out GLL.py:161-165 variant used a looser bound).  When the
+# threshold is exceeded a warning is printed from device via
+# jax.debug.print.  Set to 0/None to disable (read at trace time).
+GRAD_NORM_WARN_THRESHOLD: float | None = 10.0
 
 
 _CALLBACKS_OK: bool | None = None

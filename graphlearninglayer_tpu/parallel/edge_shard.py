@@ -67,9 +67,20 @@ def sharded_knn(mesh: Mesh, x, k: int, axis: str = "graph",
     nd = mesh.shape[axis]
     if n % nd:
         raise ValueError(f"n={n} not divisible by axis size {nd}")
+    return _sharded_knn_impl(x, mesh=mesh, axis=axis, k=k, block=block)
+
+
+# Module-level jitted impl: jit caching is keyed on the FUNCTION IDENTITY
+# plus static args, so the compiled program is reused across calls with the
+# same (mesh, axis, k, block) and shapes — a per-call jitted closure would
+# retrace and recompile every invocation (CLAUDE.md; 30s-6min per compile
+# through the remote relay).
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "block"))
+def _sharded_knn_impl(x, *, mesh, axis, k, block):
+    n, d = x.shape
+    nd = mesh.shape[axis]
     n_loc = n // nd
 
-    @partial(jax.jit, static_argnums=())
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(None, None)),
              out_specs=(P(axis, None), P(axis, None)))
@@ -314,25 +325,45 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
 
 
 def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
-                       tol: float = 1e-10, max_iter: int = 10_000):
-    """Halo-exchange CG over the per-shard plan.  Returns M z, shape (n, l).
+                       tol: float = 1e-10, max_iter: int = 100_000):
+    """Halo-exchange CG over the per-shard plan.
 
-    ``stable_conjgrad`` semantics (masked per-column alpha/beta,
-    GLL.py:247-276); every matvec refreshes the halo with one all_to_all
-    and reduces locally over the slot lists.
+    Returns (M z of shape (n, l), iters, final_err) — same convergence
+    surface as ``stable_conjgrad(return_info=True)`` so callers can warn on
+    non-convergence like the single-device path.  ``stable_conjgrad``
+    semantics and the reference's max_iter=1e5 default (GLL.py:247-276);
+    every matvec refreshes the halo with one all_to_all and reduces locally
+    over the slot lists.
     """
     nd, n_loc, S = plan.slot_nbr.shape
-    hcap = plan.req_recv.shape[2]
     l = plan.rhs.shape[2]
+    out, iters, err = _edge_solve_impl(
+        jnp.asarray(plan.slot_nbr), jnp.asarray(plan.slot_val),
+        jnp.asarray(plan.req_recv), jnp.asarray(plan.ovf_dst),
+        jnp.asarray(plan.ovf_src), jnp.asarray(plan.ovf_val),
+        jnp.asarray(plan.diag), jnp.asarray(plan.mscale),
+        jnp.asarray(plan.rhs), mesh=mesh, axis=axis, tol=float(tol),
+        max_iter=int(max_iter))
+    return jnp.reshape(out, (nd * n_loc, l)), iters, err
+
+
+# Module-level jitted impl — see _sharded_knn_impl for why (per-call jitted
+# closures retrace every invocation).
+@partial(jax.jit, static_argnames=("mesh", "axis", "tol", "max_iter"))
+def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
+                     ovf_src_a, ovf_val_a, diag_a, mscale_a, rhs_a, *,
+                     mesh, axis, tol, max_iter):
+    nd, n_loc, S = slot_nbr_a.shape
+    hcap = req_recv_a.shape[2]
+    l = rhs_a.shape[2]
 
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
 
-    @partial(jax.jit, static_argnums=())
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(spec3, spec3, spec3, spec2, spec2, spec2, spec2,
                        spec2, spec3),
-             out_specs=spec3)
+             out_specs=(spec3, P(), P()))
     def solve(slot_nbr, slot_val, req_recv, ovf_dst, ovf_src, ovf_val,
               diag, mscale, rhs):
         slot_nbr, slot_val, req_recv = slot_nbr[0], slot_val[0], req_recv[0]
@@ -388,16 +419,12 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
             return xk, r, p, rsnew, err, i + 1
 
         err0 = jnp.sqrt(jnp.max(rs0))
-        z, *_ = jax.lax.while_loop(
+        z, _, _, _, err, iters = jax.lax.while_loop(
             cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
-        return (mscale[:, None] * z)[None]
+        return (mscale[:, None] * z)[None], iters, err
 
-    out = solve(jnp.asarray(plan.slot_nbr), jnp.asarray(plan.slot_val),
-                jnp.asarray(plan.req_recv), jnp.asarray(plan.ovf_dst),
-                jnp.asarray(plan.ovf_src), jnp.asarray(plan.ovf_val),
-                jnp.asarray(plan.diag), jnp.asarray(plan.mscale),
-                jnp.asarray(plan.rhs))
-    return jnp.reshape(out, (nd * n_loc, l))
+    return solve(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a, ovf_src_a,
+                 ovf_val_a, diag_a, mscale_a, rhs_a)
 
 
 def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
@@ -449,11 +476,13 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
 
     # 3. host plan (labeled rows sit at arbitrary permuted positions)
     plan = build_edge_shard_plan(nbr, dist2, y_full_rows, inv[:k_lab], nd,
-                                 tau, epsilon, dtype=np.asarray(x_p).dtype)
+                                 tau, epsilon, dtype=np.dtype(x_p.dtype))
 
     # 4. halo-exchange CG
-    out = edge_sharded_solve(mesh, plan, axis)
+    out, iters, err = edge_sharded_solve(mesh, plan, axis)
     out = np.asarray(jax.device_get(out))          # (n, l), permuted rows
+    if float(np.asarray(err)) > 1e-10:             # reference GLL.py:273-274
+        print(f"max iter reached:  {int(iters)}  iters")
 
     # unpermute; drop labeled + dummy rows
     unperm = out[inv]                              # original row order

@@ -110,18 +110,6 @@ def run_training(opt) -> dict:
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
                         n_train=getattr(opt, "synth_n_train", 4096),
                         n_test=getattr(opt, "synth_n_test", 1024))
-    if getattr(opt, "ds_stepsize", 1) > 1:
-        # keep every stepsize-th sample of both splits (reference
-        # DSCustomDataset applied inside set_loader, utils.py:340-341)
-        import dataclasses
-
-        from ..data import downsample_by_stride
-        tri, trl = downsample_by_stride(spec.train_images, spec.train_labels,
-                                        opt.ds_stepsize)
-        tei, tel = downsample_by_stride(spec.test_images, spec.test_labels,
-                                        opt.ds_stepsize)
-        spec = dataclasses.replace(spec, train_images=tri, train_labels=trl,
-                                   test_images=tei, test_labels=tel)
     num_classes = spec.num_classes
 
     sup_tf = Transform(spec.name if spec.name in
@@ -184,7 +172,21 @@ def run_training(opt) -> dict:
                                  norm=step_norm)
     mlp_step = make_mlp_train_step(model, tx, norm=step_norm)
 
-    base_imgs, base_labels = ds.select_base(opt.num_train, "random", rng_np)
+    # --ds_stepsize strides ONLY the pool the INITIAL class-uniform base
+    # sample is drawn from (reference: DSCustomDataset wraps the
+    # no-transform `dataset` inside set_loader, utils.py:340-348, which
+    # feeds sample_dataset; the train/test splits and later score-based
+    # refreshes use the full data)
+    if getattr(opt, "ds_stepsize", 1) > 1:
+        from ..data import downsample_by_stride
+        pool_imgs, pool_labels = downsample_by_stride(
+            spec.train_images, spec.train_labels, opt.ds_stepsize)
+        pool = ScoredDataset(spec, images=pool_imgs, labels=pool_labels)
+        base_imgs, base_labels = pool.select_base(opt.num_train, "random",
+                                                  rng_np)
+    else:
+        base_imgs, base_labels = ds.select_base(opt.num_train, "random",
+                                                rng_np)
     records = {"loss": [], "train_acc": [], "test_acc": []}
 
     edges_per_step = 2 * (opt.num_train + opt.batch_size) * opt.knn_k

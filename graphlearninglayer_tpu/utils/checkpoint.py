@@ -54,7 +54,11 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
             mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
             mgr.wait_until_finished()
     except BaseException:
-        if moved and not os.path.isdir(step_dir):
+        if moved:
+            # a failed mgr.save may leave a PARTIAL step dir behind; it
+            # must not shadow the preserved copy — drop it, then restore
+            if os.path.isdir(step_dir):
+                shutil.rmtree(step_dir)
             os.rename(aside, step_dir)     # roll back to the old checkpoint
         raise
     if moved and os.path.isdir(aside):
