@@ -54,3 +54,45 @@ def test_resave_same_epoch_overwrites(tmp_path):
 def test_restore_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / "nope"), _mk_state(0))
+
+
+def test_resave_failure_rolls_back_previous_checkpoint(tmp_path, monkeypatch):
+    """A crash mid-save of an existing epoch must not lose (or shadow) the
+    previous checkpoint: the partial new step dir is removed and the aside
+    copy restored."""
+    import os
+
+    import graphlearninglayer_tpu.utils.checkpoint as ckpt_mod
+
+    path = str(tmp_path / "ck")
+    s1 = _mk_state(1)
+    save_checkpoint(path, s1, 5)
+
+    class ExplodingManager:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def all_steps(self):
+            return []
+
+        def save(self, epoch, **kw):
+            # leave a PARTIAL step dir behind, like a crash mid-write
+            os.makedirs(os.path.join(path, str(epoch)), exist_ok=True)
+            with open(os.path.join(path, str(epoch), "partial"), "w") as f:
+                f.write("junk")
+            raise RuntimeError("disk full")
+
+    monkeypatch.setattr(ckpt_mod, "_ckpt", lambda p: ExplodingManager())
+    with pytest.raises(RuntimeError):
+        save_checkpoint(path, _mk_state(2), 5)
+    monkeypatch.undo()
+
+    # the original epoch-5 checkpoint is intact and restorable
+    restored, epoch = restore_checkpoint(path, _mk_state(0))
+    assert epoch == 5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(s1.params["w"]))
+    assert not os.path.isdir(os.path.join(path, "5.replaced"))
