@@ -115,12 +115,15 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
     parts.append(test_f)
     all_f = jnp.asarray(np.concatenate(parts, axis=0))
     y = jnp.asarray(np.eye(num_classes, dtype=np.float32)[base_labels])
-    u = transductive_laplace(all_f, y, knn_num=knn_num, epsilon=epsilon,
-                             tau=tau)
+    u, cg_iters, cg_err = transductive_laplace(
+        all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
+        return_info=True)
     pred = np.asarray(jnp.argmax(u, axis=1))[-len(test_images):]
     acc = 100.0 * float(np.mean(pred == test_labels))
     print(f"Test set: Accuracy for GL predictor "
           f"(Num of train data: {len(base_images)})\t: "
           f"{int(acc * len(test_images) / 100)}/{len(test_images)} "
-          f"({acc:.2f}%)\n")
+          f"({acc:.2f}%)\n"
+          f"  [transductive solve: {cg_iters} CG iters, "
+          f"residual {cg_err:.2e}]")
     return acc

@@ -56,12 +56,16 @@ def _build(x, knn_num: int, epsilon, knn_block: int):
     return build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
 
 
-def _finish(result, tol: float = 1e-10):
+def _finish(result, tol: float = 1e-10, return_info: bool = False):
     """Unpack (pred, iters, err) from a solve and surface the reference's
-    CG non-convergence warning (GLL.py:273-274) host-side."""
+    CG non-convergence warning (GLL.py:273-274) host-side.  With
+    ``return_info`` the (iters, err) pair is returned for observability
+    (CG iterations are a first-class metric of the framework, SURVEY §7.1)."""
     pred, iters, err = result
     if float(np.asarray(err)) > tol:
         print(f"max iter reached:  {int(iters)}  iters")
+    if return_info:
+        return pred, int(np.asarray(iters)), float(np.asarray(err))
     return pred
 
 
@@ -186,13 +190,16 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, knn_block: int = 2048,
                          mode: str = "bsr", ell_cap_limit: int = 512,
                          bsr_block: int = 256,
-                         bsr_max_tile_bytes: int = 4 << 30):
+                         bsr_max_tile_bytes: int = 4 << 30,
+                         return_info: bool = False):
     """Full-dataset Laplace learning; labeled rows are 0..k_lab-1.
 
     x: (n, d) features; y: (k_lab, l) one-hot labels.  Returns (n - k_lab, l)
     scores for the unlabeled rows.  Mirrors reference utils.py:570-593:
     Luu + tau*I with Jacobi preconditioner M = diag^(-1/2) and
     ``Pred = M cg(M Luu M, -M Lul Y)``.
+
+    ``return_info=True`` → (pred, cg_iters, final_err) for observability.
     """
     epsilon = epsilon if isinstance(epsilon, str) else float(epsilon)
     if mode not in ("bsr", "sorted", "scatter", "ell"):
@@ -217,16 +224,19 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
                   "falling back to sorted")
             res = None
         if res is not None:
-            return _finish(res)
+            return _finish(res, return_info=return_info)
         mode = "sorted"                            # graph too dense to tile
     if mode == "sorted":
-        return _finish(_solve_sorted(g, y, float(tau)))
+        return _finish(_solve_sorted(g, y, float(tau)),
+                       return_info=return_info)
     if mode == "scatter":
-        return _finish(_solve_scatter(g, y, float(tau)))
+        return _finish(_solve_scatter(g, y, float(tau)),
+                       return_info=return_info)
     # ELL width = bucketed max in-degree, bounded by ell_cap_limit; incoming
     # edges of hub rows beyond the bound go to the COO overflow list (its
     # static size is bucketed too, bounding retraces).
     cap = min(ell_cap(int(max_in_degree(g))), ell_cap_limit)
     ovf = int(overflow_count(g, cap))
     ovf_cap = 0 if ovf == 0 else -(-ovf // 4096) * 4096
-    return _finish(_solve_ell(g, y, cap, ovf_cap, float(tau)))
+    return _finish(_solve_ell(g, y, cap, ovf_cap, float(tau)),
+                   return_info=return_info)
