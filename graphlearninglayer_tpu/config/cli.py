@@ -47,6 +47,13 @@ def parse_option(argv=None):
     # (parameters and the head/normalize/graph math stay float32)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 encoder compute (TPU MXU fast path)")
+    # TPU-native extension: keep the uint8 training set device-resident and
+    # augment INSIDE the jitted step (data/device_aug.py) — per step the
+    # host sends only index/label vectors instead of image batches
+    parser.add_argument("--device_data", action="store_true",
+                        help="device-resident dataset + on-device "
+                             "augmentation (per-step transfers are index/"
+                             "label vectors only)")
     parser.add_argument("--start_epochs", type=int, default=0)
 
     # optimization

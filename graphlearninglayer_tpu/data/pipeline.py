@@ -78,10 +78,13 @@ class ScoredDataset:
         self.scores[indices] = scores
 
     def select_base(self, num_samples: int, mode: str = "random",
-                    rng: np.random.Generator | None = None):
+                    rng: np.random.Generator | None = None,
+                    return_indices: bool = False):
         idx = select_base_indices(self.labels, num_samples,
                                   self.spec.num_classes, mode, self.scores,
                                   rng)
+        if return_indices:
+            return self.images[idx], self.labels[idx], idx
         return self.images[idx], self.labels[idx]
 
 

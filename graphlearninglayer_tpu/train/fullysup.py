@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.cli import parse_option
-from ..data import BatchLoader, ScoredDataset, Transform, load_dataset
+from ..data import (BatchLoader, DeviceTransform, ScoredDataset, Transform,
+                    load_dataset)
 from ..evalx import test_gl_transductive, test_network
 from ..models import BuildNet
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
@@ -29,7 +30,8 @@ from ..utils.meters import AverageMeter, FileLogger, Throughput
 from ..utils.profiling import trace_steps
 from .optim import make_lr_schedule, make_optimizer
 from .trainer import (create_train_state, make_gl_train_step,
-                      make_mlp_train_step)
+                      make_gl_train_step_from_data, make_mlp_train_step,
+                      make_mlp_train_step_from_data)
 
 __all__ = ["main", "run_training", "pretrain_linear"]
 
@@ -165,12 +167,32 @@ def run_training(opt) -> dict:
         state = pretrain_linear(model, state, loader, opt, num_classes,
                                 norm=step_norm)
 
-    gl_step = make_gl_train_step(model, tx, num_classes, tau=opt.temp,
-                                 epsilon=opt.epsilon, k=opt.knn_k,
-                                 solver=opt.gl_solver,
-                                 score_type=opt.gl_score_type,
-                                 norm=step_norm)
-    mlp_step = make_mlp_train_step(model, tx, norm=step_norm)
+    # --device_data: the uint8 training set crosses the wire ONCE (stored
+    # row-flattened so TPU tiling doesn't lane-pad the channel axis) and
+    # every step gathers + augments its rows inside the jitted step
+    # (data/device_aug.py) — per-step host->device traffic is index/label
+    # vectors only, removing the relay wire floor
+    # (benchmarks/probe_device_aug.py).
+    device_data = bool(getattr(opt, "device_data", False))
+    if device_data:
+        data_dev = jax.device_put(
+            np.ascontiguousarray(
+                spec.train_images.reshape(len(spec.train_labels), -1)))
+        dev_aug = DeviceTransform(sup_tf.dataset, sup_tf.mode)
+        rng_order = np.random.default_rng(opt.seed * 7919 + 1)
+        gl_step = make_gl_train_step_from_data(
+            model, tx, num_classes, spec.image_shape, tau=opt.temp,
+            epsilon=opt.epsilon, k=opt.knn_k, solver=opt.gl_solver,
+            score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug)
+        mlp_step = make_mlp_train_step_from_data(
+            model, tx, spec.image_shape, norm=step_norm, aug=dev_aug)
+    else:
+        gl_step = make_gl_train_step(model, tx, num_classes, tau=opt.temp,
+                                     epsilon=opt.epsilon, k=opt.knn_k,
+                                     solver=opt.gl_solver,
+                                     score_type=opt.gl_score_type,
+                                     norm=step_norm)
+        mlp_step = make_mlp_train_step(model, tx, norm=step_norm)
 
     # --ds_stepsize strides ONLY the pool the INITIAL class-uniform base
     # sample is drawn from (reference: DSCustomDataset wraps the
@@ -182,11 +204,16 @@ def run_training(opt) -> dict:
         pool_imgs, pool_labels = downsample_by_stride(
             spec.train_images, spec.train_labels, opt.ds_stepsize)
         pool = ScoredDataset(spec, images=pool_imgs, labels=pool_labels)
-        base_imgs, base_labels = pool.select_base(opt.num_train, "random",
-                                                  rng_np)
+        base_imgs, base_labels, base_sel = pool.select_base(
+            opt.num_train, "random", rng_np, return_indices=True)
+        # pool row i is full-train row i * stepsize (downsample_by_stride)
+        base_sel = base_sel * opt.ds_stepsize
     else:
-        base_imgs, base_labels = ds.select_base(opt.num_train, "random",
-                                                rng_np)
+        base_imgs, base_labels, base_sel = ds.select_base(
+            opt.num_train, "random", rng_np, return_indices=True)
+    if device_data:
+        base_idx_dev = jnp.asarray(base_sel)
+        base_labels_dev = jnp.asarray(base_labels)
     records = {"loss": [], "train_acc": [], "test_acc": []}
 
     edges_per_step = 2 * (opt.num_train + opt.batch_size) * opt.knn_k
@@ -260,23 +287,46 @@ def run_training(opt) -> dict:
         # fixed count keeps the augmentation RNG stream identical to the
         # synchronous full_batch() path across base refreshes
         base_iter = (loader.base_batches(base_imgs, base_labels)
-                     if opt.sup_train_type == "gl" else None)
+                     if opt.sup_train_type == "gl" and not device_data
+                     else None)
+        if device_data:
+            # per-step host->device traffic: one index vector + one label
+            # vector; images are gathered + augmented inside the step
+            order = rng_order.permutation(len(ds))
+            step_stream = ((order[i * opt.batch_size:
+                                  (i + 1) * opt.batch_size], None,
+                            ds.labels[order[i * opt.batch_size:
+                                            (i + 1) * opt.batch_size]])
+                           for i in range(len(loader)))
+        else:
+            step_stream = loader
         with trace_steps(profile_dir, enabled=epoch == profile_epoch):
-            for idx, (indices, images, labels) in enumerate(loader):
+            for idx, (indices, images, labels) in enumerate(step_stream):
                 data_time.update(time.time() - end)
+                step_key = jax.random.PRNGKey(opt.seed + epoch * 10000 + idx)
                 if opt.sup_train_type == "gl":
-                    base_x, base_y = next(base_iter)
-                    state, metrics, scores = gl_step(
-                        state, jnp.asarray(base_x), jnp.asarray(base_y),
-                        jnp.asarray(images), jnp.asarray(labels),
-                        jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+                    if device_data:
+                        state, metrics, scores = gl_step(
+                            state, data_dev, base_idx_dev, base_labels_dev,
+                            jnp.asarray(indices), jnp.asarray(labels),
+                            step_key)
+                    else:
+                        base_x, base_y = next(base_iter)
+                        state, metrics, scores = gl_step(
+                            state, jnp.asarray(base_x), jnp.asarray(base_y),
+                            jnp.asarray(images), jnp.asarray(labels),
+                            step_key)
                     if (epoch % opt.gl_update_base_epochs == 0
                             and opt.gl_update_base_mode == "score"):
                         pending_scores.append((indices, scores))
+                elif device_data:
+                    state, metrics = mlp_step(state, data_dev,
+                                              jnp.asarray(indices),
+                                              jnp.asarray(labels), step_key)
                 else:
                     state, metrics = mlp_step(
                         state, jnp.asarray(images), jnp.asarray(labels),
-                        jax.random.PRNGKey(opt.seed + epoch * 10000 + idx))
+                        step_key)
                 pending.append((metrics, len(labels)))
                 tput.step()
                 batch_time.update(time.time() - end)
@@ -304,8 +354,12 @@ def run_training(opt) -> dict:
         # base refresh (FullySup.py:277-283)
         if (opt.sup_train_type == "gl"
                 and epoch % opt.gl_update_base_epochs == 0):
-            base_imgs, base_labels = ds.select_base(
-                opt.num_train, opt.gl_update_base_mode, rng_np)
+            base_imgs, base_labels, base_sel = ds.select_base(
+                opt.num_train, opt.gl_update_base_mode, rng_np,
+                return_indices=True)
+            if device_data:
+                base_idx_dev = jnp.asarray(base_sel)
+                base_labels_dev = jnp.asarray(base_labels)
 
         if epoch % opt.plot_freq_ss == 0 or epoch == opt.epochs:
             records["test_acc"].append(evaluate())

@@ -24,7 +24,8 @@ from .losses import custom_ce_loss
 
 __all__ = ["TrainState", "create_train_state", "make_gl_train_step",
            "make_mlp_train_step", "make_gl_eval_step", "make_mlp_eval_step",
-           "make_encode_step", "make_sharded_gl_train_step", "params_finite"]
+           "make_encode_step", "make_sharded_gl_train_step", "params_finite",
+           "make_gl_train_step_from_data", "make_mlp_train_step_from_data"]
 
 
 def params_finite(params) -> jax.Array:
@@ -185,6 +186,97 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
 
     return jax.jit(step, in_shardings=(None, repl, repl, batch_sharding,
                                        batch_sharding, None))
+
+
+def make_gl_train_step_from_data(model, tx: optax.GradientTransformation,
+                                 num_classes: int, image_shape, tau: float,
+                                 epsilon="auto", k: int = 25,
+                                 solver: str = "cholesky",
+                                 score_type: str = "entropy", norm=None,
+                                 aug=None) -> Callable:
+    """GL step over a DEVICE-RESIDENT dataset: per step the host sends only
+    index/label vectors; base+batch rows are gathered on device and
+    augmented inside the jitted step (data/device_aug.py).
+
+    Through the execution relay the host->device image transfer is the
+    flagship driver's per-step floor (~93 ms at the reference shape,
+    benchmarks/probe_transfer_overlap.py) — this path removes it entirely
+    after a one-time bulk transfer of the uint8 training set.
+
+    ``data``: (N, H*W*C) uint8 — rows FLATTENED so the stored layout keeps
+    a wide trailing dim (the (.., C=3) axis would otherwise be lane-padded
+    on TPU) and the per-step row gather is contiguous.  Pass it as an
+    ARGUMENT every step (never close over it: a 50k-row dataset baked into
+    the HLO as a constant exceeds the remote-compile size cap).
+
+    ``aug``: a ``DeviceTransform`` (or None / eval for normalization-only).
+    The base rows are re-augmented each step alongside the batch, matching
+    the reference's per-step base_loader draw (FullySup.py:135).
+    """
+    h, w, c = image_shape
+
+    @jax.jit
+    def step(state: TrainState, data, base_idx, base_labels, idx, labels,
+             rng):
+        rows = jnp.concatenate([base_idx, idx])
+        images = jnp.take(data, rows, axis=0).reshape(-1, h, w, c)
+        if aug is not None and not aug.is_eval:
+            rng, aug_key = jax.random.split(rng)
+            images = aug(images, aug_key)
+        x = _device_normalize(images, norm)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
+
+        def loss_fn(params):
+            (_, features), new_stats = _apply(model, params,
+                                              state.batch_stats, x,
+                                              train=True, rng=rng)
+            pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
+                                    k=k, solver=solver)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        scores = _scores(pred, labels, score_type)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}, scores
+
+    return step
+
+
+def make_mlp_train_step_from_data(model, tx: optax.GradientTransformation,
+                                  image_shape, norm=None,
+                                  aug=None) -> Callable:
+    """MLP-branch step over a device-resident dataset (see
+    make_gl_train_step_from_data)."""
+    h, w, c = image_shape
+
+    @jax.jit
+    def step(state: TrainState, data, idx, labels, rng):
+        images = jnp.take(data, idx, axis=0).reshape(-1, h, w, c)
+        if aug is not None and not aug.is_eval:
+            rng, aug_key = jax.random.split(rng)
+            images = aug(images, aug_key)
+        images = _device_normalize(images, norm)
+
+        def loss_fn(params):
+            (pred, _), new_stats = _apply(model, params, state.batch_stats,
+                                          images, train=True, rng=rng)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}
+
+    return step
 
 
 def make_mlp_train_step(model, tx: optax.GradientTransformation,

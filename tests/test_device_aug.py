@@ -1,0 +1,196 @@
+"""Device (in-jit) augmentation vs the PIL-exact native backend.
+
+Per-op parity: ``device_apply_op`` must match ``apply_op_native`` — which
+is itself bit-exact with PIL (tests/test_native_aug.py) — given the same
+(op, magnitude, sign).  Under the test config (x64) the device coordinate
+math runs in float64, matching the C double path, so equality is exact.
+Random parameter streams differ by design (jax.random vs the host PCG) —
+the batch transform is tested for determinism, shape/dtype preservation,
+and jit-compatibility, not per-stream equality (same contract as the
+native backend).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphlearninglayer_tpu.data import device_aug as D
+from graphlearninglayer_tpu.data import native as N
+
+requires_native = pytest.mark.skipif(
+    not N.native_available(), reason="g++ / native library unavailable")
+
+
+def _images(rng):
+    rgb = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    # limited-range channel exercises autocontrast's lo/hi search
+    rgb[..., 1] = 40 + (rgb[..., 1] % 150)
+    gray = rng.integers(0, 256, (28, 28, 1), np.uint8)
+    return [rgb, gray]
+
+
+@requires_native
+@pytest.mark.parametrize("op", sorted(D.OP_IDS))
+def test_device_op_matches_native(op, rng):
+    op_id = D.OP_IDS[op]
+    lo, hi = float(D._OP_LO[op_id]), float(D._OP_HI[op_id])
+    for img in _images(rng):
+        for frac in (0.0, 0.33, 0.77, 1.0):
+            v = lo + frac * (hi - lo)
+            for sign in (False, True):
+                want = N.apply_op_native(img, op, v, sign)
+                got = np.asarray(D.device_apply_op(img, op_id, v, sign))
+                np.testing.assert_array_equal(
+                    got, want,
+                    err_msg=f"{op} v={v} sign={sign} c={img.shape[-1]}")
+
+
+def test_mirror_matches_numpy(rng):
+    for img in _images(rng):
+        np.testing.assert_array_equal(np.asarray(D.device_mirror(img)),
+                                      img[:, ::-1])
+
+
+def test_pad_crop_matches_numpy(rng):
+    for img in _images(rng):
+        h, w, _ = img.shape
+        for pad, reflect in ((4, False), (4, True), (8, True)):
+            for i, j in ((0, 0), (3, 7), (2 * pad, 2 * pad)):
+                padded = np.pad(img, ((pad, pad), (pad, pad), (0, 0)),
+                                mode="reflect" if reflect else "constant")
+                want = padded[i:i + h, j:j + w]
+                got = np.asarray(D.device_pad_crop(img, pad, reflect, i, j))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"pad={pad} reflect={reflect} "
+                                       f"i={i} j={j}")
+
+
+def test_cutout_matches_reference(rng):
+    """Inclusive rectangle, truncated coordinates, gray fill — the
+    augment.cpp cutout_rect semantics."""
+    for img in _images(rng):
+        h, w, c = img.shape
+        fill = (125, 123, 114) if c == 3 else (125,)
+        for frac, r1, r2 in ((0.4, 0.3, 0.6), (0.49, 0.99, 0.01),
+                             (0.2, 0.0, 1.0), (0.5, 0.5, 0.5)):
+            v = frac * w
+            x0 = max(0.0, r1 * w - v / 2.0)
+            y0 = max(0.0, r2 * h - v / 2.0)
+            x1 = min(float(w), x0 + v)
+            y1 = min(float(h), y0 + v)
+            want = img.copy()
+            want[int(y0):min(int(y1), h - 1) + 1,
+                 int(x0):min(int(x1), w - 1) + 1] = fill
+            got = np.asarray(D.device_cutout(img, frac, r1, r2))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"frac={frac} r1={r1} r2={r2} c={c}")
+
+
+def test_device_transform_batch_deterministic(rng):
+    batch = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    key = jax.random.PRNGKey(0)
+    for mode in ("weak", "strong"):
+        tf = D.DeviceTransform("cifar10", mode)
+        out = np.asarray(tf(jnp.asarray(batch), key))
+        assert out.shape == batch.shape and out.dtype == np.uint8
+        out2 = np.asarray(tf(jnp.asarray(batch), key))
+        np.testing.assert_array_equal(out, out2)
+        out3 = np.asarray(tf(jnp.asarray(batch), jax.random.PRNGKey(1)))
+        assert not np.array_equal(out, out3)
+        # per-image keys: identical rows augment differently
+        same = np.stack([batch[0]] * 8)
+        outs = np.asarray(tf(jnp.asarray(same), key))
+        assert len({o.tobytes() for o in outs}) > 1
+
+
+def test_device_transform_grayscale_under_jit(rng):
+    batch = rng.integers(0, 256, (4, 28, 28, 1), np.uint8)
+    tf = D.DeviceTransform("mnist", "weak")
+
+    @jax.jit
+    def f(b, k):
+        return tf(b, k)
+
+    out = np.asarray(f(jnp.asarray(batch), jax.random.PRNGKey(0)))
+    assert out.shape == batch.shape and out.dtype == np.uint8
+
+
+def test_device_transform_eval_identity(rng):
+    batch = rng.integers(0, 256, (4, 32, 32, 3), np.uint8)
+    tf = D.DeviceTransform("cifar10", "eval")
+    assert tf.is_eval
+    np.testing.assert_array_equal(
+        np.asarray(tf(jnp.asarray(batch), jax.random.PRNGKey(0))), batch)
+
+
+def test_from_data_step_matches_host_step(rng):
+    """With augmentation off, the device-resident-data step must produce
+    numerics identical to the host-batch step fed the same gathered rows."""
+    import flax.linen as nn
+    import optax
+
+    from graphlearninglayer_tpu.models import l2_normalize
+    from graphlearninglayer_tpu.train.trainer import (
+        create_train_state, make_gl_train_step, make_gl_train_step_from_data)
+
+    num_classes = 3
+
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.relu(nn.Conv(4, (3, 3), strides=2, padding=1)(x))
+            x = jnp.mean(x, axis=(1, 2))
+            feat = nn.Dense(8)(x)
+            return nn.softmax(nn.Dense(num_classes)(feat)), l2_normalize(feat)
+
+    model = Enc()
+    tx = optax.sgd(0.1, momentum=0.9)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 8, 1), jnp.float32))
+    norm = ([0.5], [0.5])
+    kwargs = dict(num_classes=num_classes, tau=0.07, epsilon="auto", k=4,
+                  norm=norm)
+    host_step = make_gl_train_step(model, tx, **kwargs)
+    data_step = make_gl_train_step_from_data(model, tx,
+                                             image_shape=(8, 8, 1), **kwargs)
+
+    images = rng.integers(0, 256, (64, 8, 8, 1), np.uint8)
+    labels_all = rng.integers(0, num_classes, 64)
+    base_idx = np.arange(0, 24, 3)
+    idx = rng.permutation(64)[:16]
+    key = jax.random.PRNGKey(7)
+
+    s1, m1, sc1 = host_step(state, jnp.asarray(images[base_idx]),
+                            jnp.asarray(labels_all[base_idx]),
+                            jnp.asarray(images[idx]),
+                            jnp.asarray(labels_all[idx]), key)
+    s2, m2, sc2 = data_step(state, jnp.asarray(images.reshape(64, -1)),
+                            jnp.asarray(base_idx),
+                            jnp.asarray(labels_all[base_idx]),
+                            jnp.asarray(idx), jnp.asarray(labels_all[idx]),
+                            key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2), rtol=1e-5,
+                               atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
+
+
+@requires_native
+def test_rand_round_covers_every_op_class(rng):
+    """Sampling many keys exercises every op id (the 4-way class select);
+    outputs must stay valid uint8 images."""
+    img = _images(rng)[0]
+    outs = []
+    for s in range(24):
+        out = np.asarray(D.device_apply_op(img, s % 14,
+                                           float(D._OP_LO[s % 14]
+                                                 + 0.5 * (D._OP_HI[s % 14]
+                                                          - D._OP_LO[s % 14])),
+                                           bool(s % 2)))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        outs.append(out)
+    assert len({o.tobytes() for o in outs}) > 5

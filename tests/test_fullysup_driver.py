@@ -56,6 +56,36 @@ def test_ds_stepsize_strides_only_initial_base_pool(tiny_opt, monkeypatch):
     assert all(np.isfinite(v) for v in records["loss"])
 
 
+def test_device_data_gl_training_runs_without_host_batches(tiny_opt,
+                                                           monkeypatch):
+    """--device_data keeps the train set on device: the host loader's
+    augmentation path must never run during training (only index/label
+    vectors cross per step), and training still learns."""
+    calls = []
+    orig = data_mod.BatchLoader._augment_batch
+
+    def recording(self, batch, rng=None):
+        calls.append(len(batch))
+        return orig(self, batch, rng)
+
+    monkeypatch.setattr(data_mod.BatchLoader, "_augment_batch", recording)
+    opt = parse_option(tiny_opt + ["--device_data", "--epochs", "3",
+                                   "--augment_type_sup", "weak"])
+    records = fullysup.run_training(opt)
+    assert calls == []  # no host-side batch augmentation in device mode
+    assert len(records["loss"]) == 3
+    assert all(np.isfinite(v) for v in records["loss"])
+    assert records["loss"][-1] < records["loss"][0]
+
+
+def test_device_data_mlp_branch_runs(tiny_opt):
+    opt = parse_option([a if a != "gl" else "mlp" for a in tiny_opt]
+                       + ["--device_data"])
+    records = fullysup.run_training(opt)
+    assert len(records["loss"]) == 2
+    assert all(np.isfinite(v) for v in records["loss"])
+
+
 def test_run_training_without_stepsize_never_downsamples(tiny_opt,
                                                          monkeypatch):
     called = []
