@@ -1,24 +1,26 @@
-"""TPU probe: where the on-device augmentation time goes.
+"""TPU probe: stage timings of the on-device augmentation pipeline.
 
-The --device_data flagship run measured 0.47-0.50 s / 3-step epoch vs
-0.23-0.27 s for the host-augment + prefetch path — i.e. the in-jit
-augmentation ADDS ~70 ms/step of device compute on top of the ~48 ms
-train step, more than the ~93 ms/step wire transfer it removes
-(RESULTS.md).  This probe times each stage of data/device_aug.py alone,
-as pipelined jitted programs on the augmentation batch shape
-(1500 images), to find the offenders:
+History: the first (vmapped NHWC) implementation of data/device_aug.py
+measured 125/245 ms (C=1/C=3) for a strong transform of 1500 images —
+the trailing C=1/3 axis is lane-padded to 128 on TPU, so every elementwise
+op and HBM byte was wasted 128/42x, and the per-image (H*W, C) warp
+gathers were catastrophic.  The rewrite (planar-flat (B, C, H*W) layout,
+one-hot-matmul warps, arithmetic LUTs, composed geometric prefix) is what
+this probe now measures:
 
   full-strong      DeviceTransform(dataset, 'strong') end to end
-  pad-crop         vmapped _pad_crop (one coordinate-mapped row gather)
-  warp             vmapped _affine_nearest (rotate coeffs)
-  rand-round       vmapped _rand_round (one RandAugment draw+apply)
-  histogram        vmapped _histogram (onehot reduction, (C,256))
-  apply-lut        vmapped _apply_lut (per-pixel 256-entry table lookup)
-  sharpness        vmapped _sharpness (3x3 SMOOTH blend)
-  cutout           vmapped _cutout
+  prefix-warp      composed [rotate]->[flip]->pad+crop resample
+  rand-round       one RandAugment round (_round_planar, random draws)
+  histogram        _hist_planar (B, C, 256)
+  equalize         histogram + PIL step LUT + one-hot-matmul apply
+  sharpness        3x3 SMOOTH blend
+  cutout           planar rectangle fill
 
-Never-seen salted inputs per timed call + np.asarray sync (relay replay
-rules), min of 3 runs of 8 chained launches.
+Relay measurement rules: never-seen salted inputs per timed call; the
+sync fetches a 1-element slice of the output (np.asarray of the full
+(B, H, W, C) output would ship 1.5-4.6 MB through the ~58 MB/s link and
+inflate every reading by bytes/8/58MBps — the flaw probe_device_aug3
+quantified).  Min of 3 x 8 chained launches.
 """
 import os
 import sys
@@ -44,7 +46,7 @@ def timeit(name, launch, reps=STEPS):
         out = None
         for _ in range(reps):
             out = launch()
-        _ = np.asarray(out)
+        _ = np.asarray(out.reshape(-1)[:1])  # sync w/o fetching the batch
         ts.append((time.perf_counter() - t0) / reps)
     print(f"{name:14s} {min(ts)*1e3:9.2f} ms", flush=True)
     return min(ts)
@@ -52,121 +54,92 @@ def timeit(name, launch, reps=STEPS):
 
 def run(shape, dataset):
     h, w, c = shape
+    hw = h * w
     print(f"\n=== batch ({B}, {h}, {w}, {c})  dataset={dataset} ===")
     rng = np.random.default_rng(time.time_ns())
+    imgs = jnp.asarray(rng.integers(0, 256, (B, h, w, c), np.uint8))
+    planar = jnp.asarray(rng.integers(0, 256, (B, c, hw), np.int32))
+    kbox = [jax.random.PRNGKey(int(rng.integers(1 << 30)))]
 
-    def fresh():
-        return jnp.asarray(rng.integers(0, 256, (B, h, w, c), np.uint8))
-
-    imgs = fresh()
-    key = jax.random.PRNGKey(int(rng.integers(1 << 30)))
-
-    def salted(outs):
-        """fold one output byte into the next input so the relay cannot
-        replay; stays uint8."""
-        return outs
+    def nk():
+        kbox[0] = jax.random.fold_in(kbox[0], 1)
+        return kbox[0]
 
     # full strong transform
     tf = D.DeviceTransform(dataset, "strong")
-    stepk = [key]
 
     @jax.jit
     def full(x, k):
         return tf(x, k)
 
-    def launch_full():
-        stepk[0] = jax.random.fold_in(stepk[0], 1)
-        out = full(imgs, stepk[0])
-        return out
-    timeit("full-strong", launch_full)
+    timeit("full-strong", lambda: full(imgs, nk()))
 
-    # pad+crop
+    # geometric prefix as one warp
     @jax.jit
-    def padcrop(x, k):
-        ij = jax.random.randint(k, (x.shape[0], 2), 0, 9)
-        return jax.vmap(lambda im, o: D._pad_crop(
-            im.astype(jnp.int32), 4, True, o[0], o[1]))(x, ij)
+    def prefix(x, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        ang = (jax.random.uniform(k1, (B,)) * 2 - 1) * 20
+        do_flip = jax.random.uniform(k2, (B,)) < 0.5
+        off = jax.random.randint(k3, (B, 2), 0, 9)
+        src, valid = D._prefix_src(h, w, B, ang, do_flip, off,
+                                   rotation=tf.rotation, flip=tf.flip,
+                                   pad=4, pad_reflect=tf.pad_reflect)
+        return D._warp(x, src, valid)
 
-    def launch_pad():
-        stepk[0] = jax.random.fold_in(stepk[0], 2)
-        return padcrop(imgs, stepk[0])
-    timeit("pad-crop", launch_pad)
-
-    # affine warp (rotate)
-    @jax.jit
-    def warp(x, k):
-        angs = jax.random.uniform(k, (x.shape[0],)) * 30.0
-
-        def one(im, a):
-            return D._affine_nearest(im.astype(jnp.int32),
-                                     D._rotate_coeffs(h, w, a))
-        return jax.vmap(one)(x, angs)
-
-    def launch_warp():
-        stepk[0] = jax.random.fold_in(stepk[0], 3)
-        return warp(imgs, stepk[0])
-    timeit("warp", launch_warp)
+    timeit("prefix-warp", lambda: prefix(planar, nk()))
 
     # one RandAugment round
     @jax.jit
     def rr(x, k):
-        keys = jax.random.split(k, x.shape[0])
-        return jax.vmap(lambda im, kk: D._rand_round(
-            im.astype(jnp.int32), kk))(x, keys)
+        k1, k2, k3 = jax.random.split(k, 3)
+        op = jax.random.randint(k1, (B,), 0, D._NUM_OPS)
+        u = jax.random.uniform(k2, (B,), D._ftype())
+        lo = jnp.take(jnp.asarray(D._OP_LO), op).astype(D._ftype())
+        hi = jnp.take(jnp.asarray(D._OP_HI), op).astype(D._ftype())
+        v = u * (hi - lo) + lo
+        neg = jax.random.uniform(k3, (B,)) > 0.5
+        sv = jnp.where(jnp.take(jnp.asarray(D._OP_SIGNED), op) & neg, -v, v)
+        return D._round_planar(x, op, v, sv, h, w)
 
-    def launch_rr():
-        stepk[0] = jax.random.fold_in(stepk[0], 4)
-        return rr(imgs, stepk[0])
-    timeit("rand-round", launch_rr)
+    timeit("rand-round", lambda: rr(planar & 255, nk()))
 
     # histogram
     @jax.jit
     def hist(x):
-        return jax.vmap(lambda im: D._histogram(im.astype(jnp.int32)))(x)
+        return D._hist_planar(x)
 
     def launch_hist():
-        nonlocal imgs
-        imgs = jnp.bitwise_xor(imgs, jnp.uint8(1))
-        return hist(imgs)
+        nonlocal planar
+        planar = jnp.bitwise_xor(planar, 1) & 255
+        return hist(planar)
     timeit("histogram", launch_hist)
 
-    # apply_lut (solarize table — per-image scalar magnitude)
+    # equalize end to end
     @jax.jit
-    def lut(x, k):
-        vs = jax.random.uniform(k, (x.shape[0],)) * 256.0
+    def eq(x):
+        return D._apply_lut_planar(x, D._equalize_lut(D._hist_planar(x), hw))
 
-        def one(im, v):
-            return D._apply_lut(im.astype(jnp.int32), D._solarize_lut(v))
-        return jax.vmap(one)(x, vs)
+    def launch_eq():
+        nonlocal planar
+        planar = jnp.bitwise_xor(planar, 2) & 255
+        return eq(planar)
+    timeit("equalize", launch_eq)
 
-    def launch_lut():
-        stepk[0] = jax.random.fold_in(stepk[0], 5)
-        return lut(imgs, stepk[0])
-    timeit("apply-lut", launch_lut)
-
-    # sharpness blend
+    # sharpness
     @jax.jit
     def sharp(x, k):
-        vs = jax.random.uniform(k, (x.shape[0],)) * 0.9 + 0.05
-        return jax.vmap(lambda im, v: D._sharpness(
-            im.astype(jnp.int32), v))(x, vs)
+        v = jax.random.uniform(k, (B,), D._ftype()) * 0.9 + 0.05
+        return D._sharpness_planar(x, v, h, w)
 
-    def launch_sharp():
-        stepk[0] = jax.random.fold_in(stepk[0], 6)
-        return sharp(imgs, stepk[0])
-    timeit("sharpness", launch_sharp)
+    timeit("sharpness", lambda: sharp(planar, nk()))
 
     # cutout
     @jax.jit
     def cut(x, k):
-        u = jax.random.uniform(k, (x.shape[0], 3))
-        return jax.vmap(lambda im, r: D._cutout(
-            im.astype(jnp.int32), r[0] * 0.5, r[1], r[2]))(x, u)
+        u = jax.random.uniform(k, (B, 3), D._ftype())
+        return D._cutout_planar(x, u[:, 0] * 0.5, u[:, 1], u[:, 2], h, w)
 
-    def launch_cut():
-        stepk[0] = jax.random.fold_in(stepk[0], 7)
-        return cut(imgs, stepk[0])
-    timeit("cutout", launch_cut)
+    timeit("cutout", lambda: cut(planar, nk()))
 
 
 def main():

@@ -118,20 +118,9 @@ def main():
         return wmm(imgs, src)
     timeit("warp-matmul", launch_wmm)
 
-    # --- warp as onehot matmul, int8 operands (s8xs8->s32 MXU path) ------
-    @jax.jit
-    def wmm8(x, s):
-        onehot = (s[:, :, None] ==
-                  jnp.arange(HW, dtype=jnp.int32)[None, None, :])
-        return jnp.einsum("bpq,bq->bp", onehot.astype(jnp.int8),
-                          x.astype(jnp.int8),
-                          preferred_element_type=jnp.int32)
-
-    def launch_wmm8():
-        nonlocal src
-        src = jnp.bitwise_xor(src, 8)
-        return wmm8(imgs, src)
-    timeit("warp-matmul-s8", launch_wmm8)
+    # NOTE: an s8 x s8 -> s32 variant of the warp matmul (halving the
+    # one-hot HBM traffic) HUNG the remote compiler (>10 min, no result) —
+    # int8 dot_general is not usable on this toolchain; bf16 is the floor.
 
     # --- warp matmul on the (B,HW,C=3) rhs (shared onehot, 3 channels) ---
     x3 = jnp.asarray(rng.integers(0, 256, (B, 3, HW), np.int32))

@@ -27,26 +27,46 @@ tests/test_native_aug.py):
 * posterize: bit mask;
 * cutout: inclusive rectangle, gray fill (125, 123, 114) / 125.
 
-Implementation notes (TPU-first):
+Implementation notes (TPU-first; measured in benchmarks/probe_device_aug*.py):
 
-* No ``lax.switch``: a vmapped switch executes every branch anyway, so the
-  14 RandAugment ops are evaluated as four vectorized op CLASSES — (a) the
-  seven histogram/LUT ops collapse to ONE per-image (C, 256) lookup table
-  applied once, (b) color and (c) sharpness are pointwise/3x3 blends,
-  (d) the five geometric ops share ONE nearest-neighbor affine warp whose
-  6 coefficients are selected per image — followed by a 4-way select.
+* PLANAR-FLAT LAYOUT.  All batch math runs on (B, C, H*W) int32 — the
+  trailing H*W axis fills the 128-wide vector lanes.  The naive
+  (B, H, W, C) formulation lane-pads C=1/3 to 128, wasting 128/42x of
+  every vector op and HBM byte; it measured 125 ms for a strong transform
+  of 1500 32x32x1 images where this layout runs the same math in a few ms.
+* WARPS ARE MATMULS.  Gathers are the slowest primitive on this TPU
+  (probe_device_aug2: batched take_along_axis 18 ms vs onehot-matmul
+  8 ms for the same warp), so the nearest-neighbor affine resample is a
+  per-image one-hot (H*W, H*W) matrix applied on the MXU.  Nearest
+  sampling has exactly one source per output pixel and uint8 values are
+  exact in bfloat16 (<= 255 needs 8 mantissa bits), so the matmul result
+  is bit-exact, including the zero fill (invalid rows are all-zero).
+  Images larger than ``_MATMUL_MAX_PIXELS`` (miniimagenet 84x84) fall
+  back to take_along_axis, where the one-hot matrix would not fit.
+* ONE WARP FOR THE GEOMETRIC PREFIX.  rotate -> flip -> pad+crop are all
+  coordinate maps; flip/pad/crop are integer-exact, so the composition
+  (evaluate the rotation's float affine at the integer positions the
+  flip/crop ask for) is bitwise-identical to applying the three stages
+  sequentially — one resample instead of three.
+* LUTS ARE EVALUATED ARITHMETICALLY.  brightness/contrast/solarize/
+  posterize/autocontrast tables are closed-form in the pixel level, so
+  they are applied per pixel directly (identical values to building the
+  256-entry table and indexing it).  Only equalize genuinely needs its
+  histogram-derived table; it is applied as a one-hot (H*W, 256) @ (256,)
+  matmul (exact, same single-nonzero argument).
+* No ``lax.switch``: under vmap every branch executes anyway, so each
+  RandAugment round evaluates the vectorized op classes once for the
+  whole batch and selects per image.
 * Coordinate math runs in float64 under x64 (CPU tests: bit-exact vs the
   C double path) and float32 on TPU, where an output pixel whose exact
   source coordinate lies within f32 rounding of an integer boundary may
   pick the neighboring source pixel (measure-zero for random magnitudes).
 * All ops are static-shape, jit/vmap-safe; randomness comes from
   ``jax.random`` keys (streams intentionally differ from the host
-  pipeline's numpy/PCG streams — parity is per-op, not per-stream, exactly
-  like the native backend).
+  pipeline's numpy/PCG streams — parity is per-op, not per-stream,
+  exactly like the native backend).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +94,9 @@ _OP_HI = np.array([1, 0.95, 0.95, 0.95, 1, 1, 8, 30, 0.95, 0.3, 0.3, 256,
 _OP_SIGNED = np.zeros(_NUM_OPS, bool)
 _OP_SIGNED[[7, 9, 10, 12, 13]] = True
 
-_LEVELS = np.arange(256, dtype=np.int32)
+# above this pixel count the (P, P) one-hot warp matrix is replaced by a
+# take_along_axis gather (84x84 miniimagenet: 50 M entries per image)
+_MATMUL_MAX_PIXELS = 2048
 
 
 def _ftype():
@@ -83,150 +105,58 @@ def _ftype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def _lum(img):
-    """PIL 'L' conversion on int32 RGB (augment.cpp lum)."""
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+# --------------------------------------------------------------------------
+# layout
+# --------------------------------------------------------------------------
+
+def _to_planar(batch_u8):
+    """(B, H, W, C) uint8 -> (B, C, H*W) int32 planar-flat working layout."""
+    b, h, w, c = batch_u8.shape
+    return (batch_u8.astype(jnp.int32)
+            .transpose(0, 3, 1, 2).reshape(b, c, h * w))
 
 
-def _histogram(img):
-    """(H, W, C) int32 -> (C, 256) int32 per-channel histogram."""
-    onehot = img[..., None] == jnp.asarray(_LEVELS)
-    return jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)
+def _from_planar(x, h, w):
+    """(B, C, H*W) int32 -> (B, H, W, C) uint8."""
+    b, c, _ = x.shape
+    return (x.reshape(b, c, h, w).transpose(0, 2, 3, 1)).astype(jnp.uint8)
 
 
-def _blend(deg, img, v):
-    """PIL ImageEnhance blend: truncation toward zero, clamped."""
-    r = deg + (img - deg) * v
-    return jnp.clip(jnp.trunc(r), 0, 255).astype(jnp.int32)
+def _xi_yi(h, w):
+    """Flat integer pixel coordinates: (P,) column and row indices."""
+    p = jnp.arange(h * w, dtype=jnp.int32)
+    return p % w, p // w
 
 
-def _blend_lut(deg, v):
-    """(256,) LUT of _blend(deg, level, v)."""
-    return _blend(deg, jnp.asarray(_LEVELS, _ftype()), v)
+# --------------------------------------------------------------------------
+# warp: per-image source map -> resampled image
+# --------------------------------------------------------------------------
 
+def _warp(x, src, valid):
+    """out[b, c, p] = x[b, c, src[b, p]] where valid else 0.
 
-def _identity_lut():
-    return jnp.asarray(_LEVELS)
-
-
-def _solarize_lut(v):
-    lv = jnp.asarray(_LEVELS)
-    return jnp.where(lv.astype(_ftype()) < v, lv, 255 - lv)
-
-
-def _posterize_lut(v):
-    bits = jnp.maximum(1, v.astype(jnp.int32))
-    mask = jnp.asarray(255, jnp.int32) & ~((1 << (8 - bits)) - 1)
-    return jnp.asarray(_LEVELS) & mask
-
-
-def _brightness_lut(v):
-    return _blend_lut(jnp.asarray(0, _ftype()), v)
-
-
-def _contrast_lut(img, v):
-    """Blend toward the round-half-up mean of the L image
-    (augment.cpp contrast_img)."""
-    c = img.shape[-1]
-    lum = _lum(img) if c == 3 else img[..., 0]
-    npix = lum.shape[0] * lum.shape[1]
-    mean = jnp.floor(jnp.sum(lum).astype(_ftype()) / npix + 0.5)
-    return _blend_lut(mean, v)
-
-
-def _autocontrast_lut(hist):
-    """(C, 256) -> (C, 256): per-channel min/max stretch, PIL truncation."""
-    ft = _ftype()
-    nz = hist > 0
-    lo = jnp.argmax(nz, axis=-1)
-    hi = 255 - jnp.argmax(nz[:, ::-1], axis=-1)
-    scale = 255.0 / jnp.maximum(hi - lo, 1).astype(ft)
-    offset = -lo.astype(ft) * scale
-    ix = jnp.trunc(jnp.asarray(_LEVELS, ft)[None] * scale[:, None]
-                   + offset[:, None])
-    lut = jnp.clip(ix, 0, 255).astype(jnp.int32)
-    return jnp.where((hi <= lo)[:, None], jnp.asarray(_LEVELS)[None], lut)
-
-
-def _equalize_lut(hist, npix: int):
-    """(C, 256) -> (C, 256): PIL step formula (integer divisions;
-    lut[v] uses the EXCLUSIVE prefix sum, augment.cpp equalize_img)."""
-    nzmask = hist > 0
-    nz = jnp.sum(nzmask, axis=-1)
-    last_idx = 255 - jnp.argmax(nzmask[:, ::-1], axis=-1)
-    last_nz = jnp.take_along_axis(hist, last_idx[:, None], axis=-1)[:, 0]
-    step = jnp.where(nz <= 1, 0, (npix - last_nz) // 255)
-    cum_ex = jnp.cumsum(hist, axis=-1) - hist
-    nacc = step[:, None] // 2 + cum_ex
-    lut = jnp.minimum(nacc // jnp.maximum(step[:, None], 1), 255)
-    return jnp.where((step == 0)[:, None], jnp.asarray(_LEVELS)[None],
-                     lut).astype(jnp.int32)
-
-
-def _apply_lut(img, lut):
-    """img (H, W, C) int32, lut (C, 256) or (256,) int32."""
-    h, w, c = img.shape
-    lut = jnp.broadcast_to(lut, (c, 256))
-    table = jnp.broadcast_to(lut[None, None], (h, w, c, 256))
-    return jnp.take_along_axis(table, img[..., None], axis=-1)[..., 0]
-
-
-def _color(img, v):
-    """Blend toward the L image; identity on grayscale."""
-    if img.shape[-1] == 1:
-        return img
-    ft = _ftype()
-    deg = _lum(img).astype(ft)[..., None]
-    return _blend(deg, img.astype(ft), v)
-
-
-def _sharpness(img, v):
-    """Blend toward the PIL SMOOTH filter (3x3 [1 1 1; 1 5 1; 1 1 1]/13,
-    round-half-up, border pixels copied)."""
-    h, w, _ = img.shape
-    ft = _ftype()
-    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
-    acc = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-           + p[1:-1, :-2] + 5 * p[1:-1, 1:-1] + p[1:-1, 2:]
-           + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
-    deg = jnp.clip(jnp.floor(acc.astype(ft) / 13.0 + 0.5), 0, 255)
-    border = np.zeros((h, w, 1), bool)
-    border[0], border[-1], border[:, 0], border[:, -1] = (True,) * 4
-    deg = jnp.where(jnp.asarray(border), img.astype(ft), deg)
-    return _blend(deg, img.astype(ft), v)
-
-
-def _flat_gather(img, iy, ix, valid):
-    """out[y, x] = img[iy, ix] where valid else 0.  ONE row gather on the
-    flattened image (static shapes; the only gather in the op set)."""
-    h, w, c = img.shape
-    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-    g = jnp.take(img.reshape(h * w, c), flat.reshape(-1),
-                 axis=0).reshape(h, w, c)
-    return jnp.where(valid[..., None], g, 0)
-
-
-def _affine_nearest(img, coeffs):
-    """PIL Image.transform(AFFINE) with nearest resampling:
-    out(x,y) = in(floor(a(x+.5)+b(y+.5)+c0), floor(d(x+.5)+e(y+.5)+f0)),
-    zero fill (augment.cpp affine_nearest)."""
-    h, w, _ = img.shape
-    ft = _ftype()
-    a, b, c0, d, e, f0 = [x.astype(ft) for x in coeffs]
-    xc = jnp.arange(w, dtype=ft) + 0.5
-    yc = jnp.arange(h, dtype=ft) + 0.5
-    ix = jnp.floor(a * xc[None, :] + b * yc[:, None] + c0).astype(jnp.int32)
-    iy = jnp.floor(d * xc[None, :] + e * yc[:, None] + f0).astype(jnp.int32)
-    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    return _flat_gather(img, iy, ix, valid)
+    x (B, C, P) int32, src (B, P) int32 in [0, P), valid (B, P) bool.
+    One-hot bf16 matmul on the MXU (exact: single nonzero per row, uint8
+    values exact in bf16, f32 accumulation); gather fallback for large P.
+    """
+    b, c, p = x.shape
+    if p <= _MATMUL_MAX_PIXELS:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
+        oh = ((src[:, :, None] == iota) & valid[:, :, None])
+        out = jnp.einsum("bpq,bcq->bcp", oh.astype(jnp.bfloat16),
+                         x.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+    g = jnp.take_along_axis(x, jnp.broadcast_to(src[:, None, :], x.shape),
+                            axis=2)
+    return jnp.where(valid[:, None, :], g, 0)
 
 
 def _rotate_coeffs(h: int, w: int, deg):
     """PIL Image.rotate(angle): CCW, center (w/2, h/2)
-    (augment.cpp rotate_img)."""
+    (augment.cpp rotate_img).  ``deg`` may be batched (B,)."""
     ft = _ftype()
-    ang = -deg.astype(ft) * (np.pi / 180.0)
+    ang = -jnp.asarray(deg).astype(ft) * (np.pi / 180.0)
     cs, sn = jnp.cos(ang), jnp.sin(ang)
     cx, cy = w / 2.0, h / 2.0
     a, b, d, e = cs, sn, -sn, cs
@@ -235,39 +165,146 @@ def _rotate_coeffs(h: int, w: int, deg):
     return a, b, c0, d, e, f0
 
 
-def _id_coeffs(dtype):
-    one = jnp.asarray(1, dtype)
-    zero = jnp.asarray(0, dtype)
-    return one, zero, zero, zero, one, zero
+def _affine_src(h, w, coeffs, qx, qy):
+    """Evaluate a per-image affine map at integer positions (qx, qy).
+
+    out pixel reads source floor(a*(qx+.5) + b*(qy+.5) + c0), ... — the
+    PIL Image.transform(AFFINE, nearest) rule (augment.cpp affine_nearest).
+    coeffs: six (B,) arrays; qx, qy: (B, P) int32.  Returns flat source
+    indices (B, P) int32 (clipped) and the in-bounds mask (B, P).
+    """
+    ft = _ftype()
+    a, b, c0, d, e, f0 = [jnp.asarray(v).astype(ft)[:, None] for v in coeffs]
+    xc = qx.astype(ft) + 0.5
+    yc = qy.astype(ft) + 0.5
+    ix = jnp.floor(a * xc + b * yc + c0).astype(jnp.int32)
+    iy = jnp.floor(d * xc + e * yc + f0).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    src = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    return src, valid
 
 
-def _mirror(img):
-    return img[:, ::-1, :]
+def _prefix_src(h, w, n, ang, do_flip, off, *, rotation: int, flip: bool,
+                pad: int, pad_reflect: bool):
+    """Source map of the composed [rotate] -> [flip] -> pad+crop prefix.
+
+    flip and pad+crop are integer-exact coordinate maps, so evaluating the
+    rotation's float affine at the positions they request is bitwise-equal
+    to the three sequential resamples (see module notes).  Returns
+    (src (B, P) int32, valid (B, P) bool).
+    """
+    xi, yi = _xi_yi(h, w)
+    qx = jnp.broadcast_to(xi[None], (n, h * w))
+    qy = jnp.broadcast_to(yi[None], (n, h * w))
+    valid = jnp.ones((n, h * w), bool)
+    if pad > 0:
+        qy = qy + (off[:, 0:1] - pad)
+        qx = qx + (off[:, 1:2] - pad)
+        if pad_reflect:
+            qy = jnp.abs(qy)
+            qy = jnp.where(qy >= h, 2 * h - 2 - qy, qy)
+            qx = jnp.abs(qx)
+            qx = jnp.where(qx >= w, 2 * w - 2 - qx, qx)
+        else:
+            valid = (qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+    if flip:
+        qx = jnp.where(do_flip[:, None], w - 1 - qx, qx)
+    if rotation > 0:
+        src, rot_valid = _affine_src(h, w, _rotate_coeffs(h, w, ang),
+                                     jnp.clip(qx, 0, w - 1),
+                                     jnp.clip(qy, 0, h - 1))
+        # evaluate the rotation only at in-bounds crop positions; outside
+        # the constant-pad box the pixel is 0 regardless
+        return src, valid & rot_valid
+    src = (jnp.clip(qy, 0, h - 1) * w + jnp.clip(qx, 0, w - 1))
+    return src, valid
 
 
-def _pad_crop(img, pad: int, reflect: bool, i, j):
-    """numpy-style pad (constant-0 / reflect) + crop at offset (i, j) in
-    [0, 2*pad], expressed as one coordinate-mapped gather."""
-    h, w, _ = img.shape
-    ys = jnp.arange(h) + i - pad
-    xs = jnp.arange(w) + j - pad
-    if reflect:
-        ys = jnp.abs(ys)
-        ys = jnp.where(ys >= h, 2 * h - 2 - ys, ys)
-        xs = jnp.abs(xs)
-        xs = jnp.where(xs >= w, 2 * w - 2 - xs, xs)
-        valid = jnp.ones((h, w), bool)
-    else:
-        valid = (((ys >= 0) & (ys < h))[:, None]
-                 & ((xs >= 0) & (xs < w))[None, :])
-    return _flat_gather(img, jnp.broadcast_to(ys[:, None], (h, w)),
-                        jnp.broadcast_to(xs[None, :], (h, w)), valid)
+# --------------------------------------------------------------------------
+# pixel-op building blocks (batched planar)
+# --------------------------------------------------------------------------
+
+def _lum_planar(x):
+    """PIL 'L' conversion on int32 RGB: (B, 3, P) -> (B, P)
+    (augment.cpp lum)."""
+    return ((x[:, 0] * 19595 + x[:, 1] * 38470 + x[:, 2] * 7471
+             + 0x8000) >> 16)
 
 
-def _cutout(img, frac, r1, r2):
-    """Random gray square, inclusive rectangle fill
-    (augment.cpp augment_one/cutout_rect; reference augmentations.py:113-138)."""
-    h, w, c = img.shape
+def _gray_planar(x):
+    """The per-image L plane: (B, C, P) -> (B, P)."""
+    return _lum_planar(x) if x.shape[1] == 3 else x[:, 0]
+
+
+def _blend(deg, img, v):
+    """PIL ImageEnhance blend: truncation toward zero, clamped."""
+    r = deg + (img - deg) * v
+    return jnp.clip(jnp.trunc(r), 0, 255).astype(jnp.int32)
+
+
+def _hist_planar(x):
+    """(B, C, P) int32 -> (B, C, 256) int32 per-channel histogram."""
+    onehot = x[..., None] == jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum(onehot, axis=2, dtype=jnp.int32)
+
+
+def _apply_lut_planar(x, lut):
+    """out[b, c, p] = lut[b, c, x[b, c, p]] as a one-hot matmul (exact:
+    single nonzero per row, values <= 255 exact in bf16)."""
+    onehot = (x[..., None] == jnp.arange(256, dtype=jnp.int32))
+    out = jnp.einsum("bcpl,bcl->bcp", onehot.astype(jnp.bfloat16),
+                     lut.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def _equalize_lut(hist, npix: int):
+    """(B, C, 256) -> (B, C, 256): PIL step formula (integer divisions;
+    lut[v] uses the EXCLUSIVE prefix sum, augment.cpp equalize_img)."""
+    levels = jnp.arange(256, dtype=jnp.int32)
+    nzmask = hist > 0
+    nz = jnp.sum(nzmask, axis=-1)
+    last_idx = 255 - jnp.argmax(nzmask[..., ::-1], axis=-1)
+    last_nz = jnp.take_along_axis(hist, last_idx[..., None], axis=-1)[..., 0]
+    step = jnp.where(nz <= 1, 0, (npix - last_nz) // 255)
+    cum_ex = jnp.cumsum(hist, axis=-1) - hist
+    nacc = step[..., None] // 2 + cum_ex
+    lut = jnp.minimum(nacc // jnp.maximum(step[..., None], 1), 255)
+    return jnp.where((step == 0)[..., None], levels[None, None],
+                     lut).astype(jnp.int32)
+
+
+def _contrast_mean(x):
+    """Round-half-up mean of the L plane: (B, C, P) -> (B,) in _ftype()
+    (augment.cpp contrast_img)."""
+    ft = _ftype()
+    lum = _gray_planar(x)
+    npix = lum.shape[-1]
+    return jnp.floor(jnp.sum(lum, axis=-1).astype(ft) / npix + 0.5)
+
+
+def _sharpness_planar(x, v, h, w):
+    """Blend toward the PIL SMOOTH filter (3x3 [1 1 1; 1 5 1; 1 1 1]/13,
+    round-half-up, border pixels copied).  v: (B,)."""
+    b, c, p = x.shape
+    ft = _ftype()
+    img = x.reshape(b * c, h, w)
+    pd = jnp.pad(img, ((0, 0), (1, 1), (1, 1)))
+    acc = (pd[:, :-2, :-2] + pd[:, :-2, 1:-1] + pd[:, :-2, 2:]
+           + pd[:, 1:-1, :-2] + 5 * pd[:, 1:-1, 1:-1] + pd[:, 1:-1, 2:]
+           + pd[:, 2:, :-2] + pd[:, 2:, 1:-1] + pd[:, 2:, 2:])
+    deg = jnp.clip(jnp.floor(acc.astype(ft) / 13.0 + 0.5), 0, 255)
+    border = np.zeros((h, w), bool)
+    border[0], border[-1], border[:, 0], border[:, -1] = (True,) * 4
+    deg = jnp.where(jnp.asarray(border)[None], img.astype(ft), deg)
+    return _blend(deg.reshape(b, c, p), x.astype(ft), v[:, None, None])
+
+
+def _cutout_planar(x, frac, r1, r2, h, w):
+    """Random gray square, inclusive rectangle fill (augment.cpp
+    augment_one/cutout_rect; reference augmentations.py:113-138).
+    frac/r1/r2: (B,)."""
+    b, c, p = x.shape
     ft = _ftype()
     v = frac.astype(ft) * w
     x0 = jnp.maximum(0.0, r1.astype(ft) * w - v / 2.0)
@@ -275,123 +312,152 @@ def _cutout(img, frac, r1, r2):
     ix0, iy0 = x0.astype(jnp.int32), y0.astype(jnp.int32)
     ix1 = jnp.minimum(jnp.minimum(float(w), x0 + v).astype(jnp.int32), w - 1)
     iy1 = jnp.minimum(jnp.minimum(float(h), y0 + v).astype(jnp.int32), h - 1)
-    xs, ys = jnp.arange(w), jnp.arange(h)
-    mask = (((ys >= iy0) & (ys <= iy1))[:, None]
-            & ((xs >= ix0) & (xs <= ix1))[None, :])
+    xi, yi = _xi_yi(h, w)
+    mask = ((yi[None] >= iy0[:, None]) & (yi[None] <= iy1[:, None])
+            & (xi[None] >= ix0[:, None]) & (xi[None] <= ix1[:, None])
+            & (frac > 0)[:, None])
     fill = jnp.asarray([125, 123, 114][:c] if c == 3 else [125], jnp.int32)
-    return jnp.where(mask[..., None] & (frac > 0), fill, img)
+    return jnp.where(mask[:, None, :], fill[None, :, None], x)
 
 
-def _apply_rand_op(img, op, v, sv):
-    """One RandAugment op on an int32 image; ``op`` may be traced.
+# --------------------------------------------------------------------------
+# one RandAugment round (all op classes evaluated, per-image select)
+# --------------------------------------------------------------------------
 
-    Four op classes evaluated vectorized + a 4-way select (no lax.switch:
-    under vmap every branch runs anyway).  ``v`` is the unsigned magnitude,
-    ``sv`` the sign-flipped one used by the geometric ops."""
-    h, w, c = img.shape
+def _round_planar(x, op, v, sv, h, w):
+    """One RandAugment op per image on a (B, C, P) int32 batch.
+
+    op (B,) int32 op ids; v (B,) unsigned magnitude; sv (B,) sign-flipped
+    magnitude used by the geometric ops.  Every op class is computed
+    vectorized for the whole batch and selected per image (a vmapped
+    lax.switch would execute every branch anyway)."""
+    b, c, p = x.shape
     ft = _ftype()
+    xf = x.astype(ft)
+    vb = v.astype(ft)[:, None, None]
+    opb = op[:, None, None]
 
-    # (a) LUT class: autocontrast/brightness/contrast/equalize/identity/
-    #     posterize/solarize -> one (C, 256) table
-    hist = _histogram(img)
-    lut = jnp.broadcast_to(_identity_lut()[None], (c, 256))
-    lut = jnp.where(op == 0, _autocontrast_lut(hist), lut)
-    lut = jnp.where(op == 1, _brightness_lut(v)[None], lut)
-    lut = jnp.where(op == 3, _contrast_lut(img, v)[None], lut)
-    lut = jnp.where(op == 4, _equalize_lut(hist, h * w), lut)
-    lut = jnp.where(op == 6, _posterize_lut(v)[None], lut)
-    lut = jnp.where(op == 11, _solarize_lut(v)[None], lut)
-    out = _apply_lut(img, lut)
+    out = x  # identity (op 5) and the default for unmatched ids
 
-    # (b)/(c) pointwise blends
-    out = jnp.where(op == 2, _color(img, v), out)
-    out = jnp.where(op == 8, _sharpness(img, v), out)
+    # autocontrast (0): per-channel linear stretch; lo/hi are the channel
+    # min/max (== first/last nonzero histogram bins), PIL truncation
+    lo = jnp.min(x, axis=2, keepdims=True).astype(ft)
+    hi = jnp.max(x, axis=2, keepdims=True).astype(ft)
+    scale = 255.0 / jnp.maximum(hi - lo, 1.0)
+    offset = -lo * scale
+    ac = jnp.clip(jnp.trunc(xf * scale + offset), 0, 255).astype(jnp.int32)
+    ac = jnp.where(hi <= lo, x, ac)
+    out = jnp.where(opb == 0, ac, out)
 
-    # (d) geometric class: one shared affine warp, coefficients selected
+    # brightness (1): blend toward black
+    out = jnp.where(opb == 1, _blend(jnp.asarray(0, ft), xf, vb), out)
+
+    # color (2): blend toward the L plane; identity on grayscale
+    if c == 3:
+        deg = _lum_planar(x).astype(ft)[:, None, :]
+        out = jnp.where(opb == 2, _blend(deg, xf, vb), out)
+
+    # contrast (3): blend toward the round-half-up L mean
+    mean = _contrast_mean(x)[:, None, None]
+    out = jnp.where(opb == 3, _blend(mean, xf, vb), out)
+
+    # equalize (4): the one op that needs its histogram-derived table
+    eq = _apply_lut_planar(x, _equalize_lut(_hist_planar(x), p))
+    out = jnp.where(opb == 4, eq, out)
+
+    # posterize (6): bit mask
+    bits = jnp.clip(v.astype(jnp.int32), 1, 8)
+    pmask = jnp.asarray(255, jnp.int32) & ~((1 << (8 - bits)) - 1)
+    out = jnp.where(opb == 6, x & pmask[:, None, None], out)
+
+    # sharpness (8): blend toward SMOOTH
+    out = jnp.where(opb == 8, _sharpness_planar(x, v, h, w), out)
+
+    # solarize (11): invert at >= threshold
+    out = jnp.where(opb == 11, jnp.where(xf < vb, x, 255 - x), out)
+
+    # geometric class (7/9/10/12/13): one shared affine resample whose
+    # coefficients are selected per image
     svf = sv.astype(ft)
-    ident = _id_coeffs(ft)
+    zero, one = jnp.zeros_like(svf), jnp.ones_like(svf)
     rot = _rotate_coeffs(h, w, sv)
-    shear_x = (ident[0], svf, ident[2], ident[3], ident[4], ident[5])
-    shear_y = (ident[0], ident[1], ident[2], svf, ident[4], ident[5])
-    trans_x = (ident[0], ident[1], svf * w, ident[3], ident[4], ident[5])
-    trans_y = (ident[0], ident[1], ident[2], ident[3], ident[4], svf * h)
-    coeffs = ident
-    for op_id, cf in ((7, rot), (9, shear_x), (10, shear_y), (12, trans_x),
-                      (13, trans_y)):
+    geo_tbl = {
+        9: (one, svf, zero, zero, one, zero),             # shear_x
+        10: (one, zero, zero, svf, one, zero),            # shear_y
+        12: (one, zero, svf * w, zero, one, zero),        # translate_x
+        13: (one, zero, zero, zero, one, svf * h),        # translate_y
+    }
+    coeffs = rot
+    for op_id, cf in geo_tbl.items():
         coeffs = tuple(jnp.where(op == op_id, new, cur)
                        for new, cur in zip(cf, coeffs))
+    xi, yi = _xi_yi(h, w)
+    src, valid = _affine_src(h, w, coeffs,
+                             jnp.broadcast_to(xi[None], (b, p)),
+                             jnp.broadcast_to(yi[None], (b, p)))
     is_geo = (op == 7) | (op == 9) | (op == 10) | (op == 12) | (op == 13)
-    return jnp.where(is_geo, _affine_nearest(img, coeffs), out)
+    ge = _warp(x, src, valid)
+    return jnp.where(is_geo[:, None, None], ge, out)
 
+
+# --------------------------------------------------------------------------
+# public single-image surface (the per-op parity interface the native
+# backend also exposes; tested bit-exact vs PIL in tests/test_device_aug.py)
+# --------------------------------------------------------------------------
 
 def device_apply_op(img_u8, op, v, sign):
-    """Single-op entry point mirroring native ``gll_apply_op`` — the per-op
-    parity surface tested against the PIL-exact native backend."""
-    img = jnp.asarray(img_u8).astype(jnp.int32)
-    op = jnp.asarray(op, jnp.int32)
-    v = jnp.asarray(v, _ftype())
+    """One RandAugment op on one (H, W, C) uint8 image — mirrors native
+    ``gll_apply_op``."""
+    img = jnp.asarray(img_u8)
+    h, w, _ = img.shape
+    x = _to_planar(img[None])
+    op = jnp.asarray(op, jnp.int32)[None]
+    v = jnp.asarray(v, _ftype())[None]
     sv = jnp.where(jnp.asarray(sign, bool), -v, v)
-    return _apply_rand_op(img, op, v, sv).astype(jnp.uint8)
+    return _from_planar(_round_planar(x, op, v, sv, h, w), h, w)[0]
 
 
 def device_rotate(img_u8, deg):
-    img = jnp.asarray(img_u8).astype(jnp.int32)
-    coeffs = _rotate_coeffs(img.shape[0], img.shape[1],
-                            jnp.asarray(deg, _ftype()))
-    return _affine_nearest(img, coeffs).astype(jnp.uint8)
+    img = jnp.asarray(img_u8)
+    h, w, _ = img.shape
+    x = _to_planar(img[None])
+    xi, yi = _xi_yi(h, w)
+    src, valid = _affine_src(
+        h, w, _rotate_coeffs(h, w, jnp.asarray(deg, _ftype())[None]),
+        xi[None], yi[None])
+    return _from_planar(_warp(x, src, valid), h, w)[0]
 
 
 def device_mirror(img_u8):
-    return jnp.asarray(_mirror(jnp.asarray(img_u8)))
+    return jnp.asarray(img_u8)[:, ::-1, :]
 
 
 def device_pad_crop(img_u8, pad: int, reflect: bool, i, j):
-    img = jnp.asarray(img_u8).astype(jnp.int32)
-    return _pad_crop(img, pad, reflect, jnp.asarray(i),
-                     jnp.asarray(j)).astype(jnp.uint8)
+    img = jnp.asarray(img_u8)
+    h, w, _ = img.shape
+    x = _to_planar(img[None])
+    off = jnp.stack([jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32)])
+    src, valid = _prefix_src(h, w, 1, None, None, off[None], rotation=0,
+                             flip=False, pad=pad, pad_reflect=reflect)
+    return _from_planar(_warp(x, src, valid), h, w)[0]
 
 
 def device_cutout(img_u8, frac, r1, r2):
-    img = jnp.asarray(img_u8).astype(jnp.int32)
-    return _cutout(img, jnp.asarray(frac), jnp.asarray(r1),
-                   jnp.asarray(r2)).astype(jnp.uint8)
+    img = jnp.asarray(img_u8)
+    h, w, _ = img.shape
+    x = _to_planar(img[None])
+    out = _cutout_planar(x, jnp.asarray(frac)[None], jnp.asarray(r1)[None],
+                         jnp.asarray(r2)[None], h, w)
+    return _from_planar(out, h, w)[0]
 
 
-def _rand_round(img, key):
-    """Draw (op, magnitude, sign) and apply — augment.cpp augment_one's
-    RandAugment loop body."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    op = jax.random.randint(k1, (), 0, _NUM_OPS)
-    u = jax.random.uniform(k2, (), _ftype())
-    lo = jnp.asarray(_OP_LO)[op].astype(_ftype())
-    hi = jnp.asarray(_OP_HI)[op].astype(_ftype())
-    v = u * (hi - lo) + lo
-    neg = jax.random.uniform(k3, ()) > 0.5
-    sv = jnp.where(jnp.asarray(_OP_SIGNED)[op] & neg, -v, v)
-    return _apply_rand_op(img, op, v, sv)
+# --------------------------------------------------------------------------
+# the batch transform
+# --------------------------------------------------------------------------
 
-
-def _augment_one(img_u8, key, *, rand_n: int, rotation: int, flip: bool,
-                 pad: int, pad_reflect: bool):
-    """Full per-image transform: [rotate] -> [flip] -> pad+crop ->
-    RandAugment(rand_n) -> cutout (data/augment.py Transform.__call__)."""
-    img = img_u8.astype(jnp.int32)
-    keys = jax.random.split(key, 4 + rand_n)
-    k_rot, k_flip, k_pad, k_cut = keys[:4]
-    if rotation > 0:
-        ang = (jax.random.uniform(k_rot, (), _ftype()) * 2.0 - 1.0) * rotation
-        img = _affine_nearest(img, _rotate_coeffs(*img.shape[:2], ang))
-    if flip:
-        do = jax.random.uniform(k_flip, ()) < 0.5
-        img = jnp.where(do, _mirror(img), img)
-    if pad > 0:
-        ij = jax.random.randint(k_pad, (2,), 0, 2 * pad + 1)
-        img = _pad_crop(img, pad, pad_reflect, ij[0], ij[1])
-    for t in range(rand_n):
-        img = _rand_round(img, keys[4 + t])
-    u = jax.random.uniform(k_cut, (3,), _ftype())
-    img = _cutout(img, u[0] * 0.5, u[1], u[2])
-    return img.astype(jnp.uint8)
+def _draw(keys, fn):
+    """Vectorized per-image draws from a (B, 2) key array."""
+    return jax.vmap(fn)(keys)
 
 
 class DeviceTransform:
@@ -400,9 +466,10 @@ class DeviceTransform:
     semantics; reference config/datasets_setting.py).
 
     ``__call__(batch_u8, key)`` maps a (B, H, W, C) uint8 batch to an
-    augmented uint8 batch of the same shape, vmapped over per-image keys.
-    Eval mode is the identity (normalization happens in the train step via
-    its ``norm=(mean, std)`` argument, trainer._device_normalize).
+    augmented uint8 batch of the same shape; per-image parameters are
+    drawn from per-image subkeys.  Eval mode is the identity
+    (normalization happens in the train step via its ``norm=(mean, std)``
+    argument, trainer._device_normalize).
     """
 
     def __init__(self, dataset: str, mode: str = "eval"):
@@ -427,8 +494,49 @@ class DeviceTransform:
     def __call__(self, batch_u8, key):
         if self.is_eval:
             return batch_u8
-        fn = functools.partial(_augment_one, rand_n=self.rand_n,
-                               rotation=self.rotation, flip=self.flip,
-                               pad=self.pad, pad_reflect=self.pad_reflect)
-        keys = jax.random.split(key, batch_u8.shape[0])
-        return jax.vmap(fn)(batch_u8, keys)
+        n, h, w, _ = batch_u8.shape
+        x = _to_planar(batch_u8)
+        # per-image subkeys: rotate, flip, pad offsets, cutout, rand rounds
+        per_img = jax.random.split(key, n)
+        all_keys = jax.vmap(
+            lambda k: jax.random.split(k, 4 + self.rand_n))(per_img)
+
+        ang = None
+        if self.rotation > 0:
+            u = _draw(all_keys[:, 0], lambda k: jax.random.uniform(
+                k, (), _ftype()))
+            ang = (u * 2.0 - 1.0) * self.rotation
+        do_flip = _draw(all_keys[:, 1],
+                        lambda k: jax.random.uniform(k, ())) < 0.5
+        off = _draw(all_keys[:, 2], lambda k: jax.random.randint(
+            k, (2,), 0, 2 * self.pad + 1)) if self.pad > 0 else None
+
+        # geometric prefix: [rotate] -> [flip] -> pad+crop as ONE resample
+        if self.pad > 0 or self.rotation > 0 or self.flip:
+            src, valid = _prefix_src(h, w, n, ang, do_flip, off,
+                                     rotation=self.rotation, flip=self.flip,
+                                     pad=self.pad,
+                                     pad_reflect=self.pad_reflect)
+            x = _warp(x, src, valid)
+
+        # RandAugment rounds (augment.cpp augment_one's loop body)
+        lo_t = jnp.asarray(_OP_LO)
+        hi_t = jnp.asarray(_OP_HI)
+        signed_t = jnp.asarray(_OP_SIGNED)
+        for t in range(self.rand_n):
+            rk = jax.vmap(lambda k: jax.random.split(k, 3))(all_keys[:, 4 + t])
+            op = _draw(rk[:, 0], lambda k: jax.random.randint(
+                k, (), 0, _NUM_OPS))
+            u = _draw(rk[:, 1], lambda k: jax.random.uniform(k, (), _ftype()))
+            neg = _draw(rk[:, 2], lambda k: jax.random.uniform(k, ())) > 0.5
+            lo = jnp.take(lo_t, op).astype(_ftype())
+            hi = jnp.take(hi_t, op).astype(_ftype())
+            v = u * (hi - lo) + lo
+            sv = jnp.where(jnp.take(signed_t, op) & neg, -v, v)
+            x = _round_planar(x, op, v, sv, h, w)
+
+        # always-applied cutout (reference augmentations.py:229-234)
+        ucut = _draw(all_keys[:, 3], lambda k: jax.random.uniform(
+            k, (3,), _ftype()))
+        x = _cutout_planar(x, ucut[:, 0] * 0.5, ucut[:, 1], ucut[:, 2], h, w)
+        return _from_planar(x, h, w)
