@@ -54,3 +54,14 @@ g = stage("build", lambda: _build(xj, k, "auto", 2048))
 if g is not None:
     stage("sorted", lambda: _solve_sorted(g, yj, 1e-8))
     stage("bsr", lambda: _transductive_bsr(xj, g, yj, 1e-8, 256, 4 << 30))
+
+# warm pass on never-seen inputs (the relay replays cached (program, input)
+# pairs; warm timings need fresh data each call)
+x2 = centers[lab] + rng.normal(size=(n, d)).astype(np.float32)
+x2 /= np.linalg.norm(x2, axis=1, keepdims=True)
+xj2 = jnp.asarray(x2)
+g2 = stage("build/warm", lambda: _build(xj2, k, "auto", 2048))
+if g2 is not None:
+    stage("sorted/warm", lambda: _solve_sorted(g2, yj, 1e-8))
+    stage("bsr/warm",
+          lambda: _transductive_bsr(xj2, g2, yj, 1e-8, 256, 4 << 30))

@@ -43,12 +43,15 @@ def _num_iters(attack: str, epsilon: float) -> int:
 
 def make_gl_fast_gradient_attack(encode: Callable, num_classes: int,
                                  tau: float = 0.0, epsilon_graph="auto",
-                                 k: int = 25, solver: str = "cholesky"):
+                                 k: int = 25, solver: str = "cholesky",
+                                 grad_warn=-1.0):
     """Attack builder for GL-head models.
 
     ``encode(images) -> features`` is the frozen eval-mode network.  Returns
     ``attack_fn(base_images, base_labels, images, labels, eps, kind, min_val,
-    max_val)`` producing (adv_images, final_pred).
+    max_val)`` producing (adv_images, final_pred).  ``grad_warn``: exploding
+    -gradient warn threshold of the op backward (-1.0 = module default,
+    None disables — dryruns pass None to keep their tail channel clean).
     """
 
     def gl_loss(base_images, base_labels, images, labels):
@@ -56,7 +59,7 @@ def make_gl_fast_gradient_attack(encode: Callable, num_classes: int,
         feats = encode(x)
         y = jax.nn.one_hot(base_labels, num_classes, dtype=feats.dtype)
         pred = laplace_learning(feats, y, tau=tau, epsilon=epsilon_graph,
-                                k=k, solver=solver)
+                                k=k, solver=solver, grad_warn=grad_warn)
         return custom_ce_loss(pred, labels), pred
 
     grad_fn = jax.grad(lambda img, b_i, b_l, lab: gl_loss(b_i, b_l, img,

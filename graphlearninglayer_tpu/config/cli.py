@@ -137,6 +137,22 @@ def parse_option(argv=None):
     parser.add_argument("--gl_solver", type=str, default="cholesky",
                         choices=["cholesky", "cg"])
 
+    # multi-device execution (no reference equivalent: the reference's only
+    # scale-out is single-host DataParallel on the encoder, utils.py:546-548;
+    # here mesh sharding is a first-class axis, SURVEY §2.3/§7)
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="device mesh for the train step and large-n "
+                             "eval: 'auto' (all visible devices when >1), "
+                             "'off', or an explicit device count")
+    parser.add_argument("--shard_eval_min_n", type=int, default=20000,
+                        help="route the transductive eval through the edge-"
+                             "partitioned multi-device solver when the graph "
+                             "has at least this many nodes (and --mesh is on)")
+    parser.add_argument("--grad_warn", type=float, default=10.0,
+                        help="exploding-gradient warn threshold in the graph "
+                             "op backward (reference train_and_adversarial"
+                             ".py:177-183); 0 disables")
+
     # other
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--class_rand_sample", action="store_true")

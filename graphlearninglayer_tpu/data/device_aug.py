@@ -97,6 +97,13 @@ _OP_SIGNED[[7, 9, 10, 12, 13]] = True
 # above this pixel count the (P, P) one-hot warp matrix is replaced by a
 # take_along_axis gather (84x84 miniimagenet: 50 M entries per image)
 _MATMUL_MAX_PIXELS = 2048
+# total-bytes cap on any materialized one-hot matmul operand (warp: B*P*P
+# bf16; equalize LUT: B*C*P*256 bf16).  The per-image P gate alone scales
+# quadratically in P and linearly in B — a caller augmenting a big
+# device-resident batch would OOM a 16 GB v5e chip without this product
+# gate.  4 GiB keeps the probed flagship shape (B=1500, P=1024: ~3.1 GiB
+# warp / ~2.4 GiB LUT) on the exact-matmul fast path.
+_MATMUL_MAX_BYTES = 4 << 30
 
 
 def _ftype():
@@ -137,10 +144,12 @@ def _warp(x, src, valid):
 
     x (B, C, P) int32, src (B, P) int32 in [0, P), valid (B, P) bool.
     One-hot bf16 matmul on the MXU (exact: single nonzero per row, uint8
-    values exact in bf16, f32 accumulation); gather fallback for large P.
+    values exact in bf16, f32 accumulation); gather fallback when the
+    (B, P, P) one-hot would exceed the memory budget (large images OR
+    large device-resident batches — both exact either way).
     """
     b, c, p = x.shape
-    if p <= _MATMUL_MAX_PIXELS:
+    if p <= _MATMUL_MAX_PIXELS and 2 * b * p * p <= _MATMUL_MAX_BYTES:
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
         oh = ((src[:, :, None] == iota) & valid[:, :, None])
         out = jnp.einsum("bpq,bcq->bcp", oh.astype(jnp.bfloat16),
@@ -250,12 +259,20 @@ def _hist_planar(x):
 
 def _apply_lut_planar(x, lut):
     """out[b, c, p] = lut[b, c, x[b, c, p]] as a one-hot matmul (exact:
-    single nonzero per row, values <= 255 exact in bf16)."""
-    onehot = (x[..., None] == jnp.arange(256, dtype=jnp.int32))
-    out = jnp.einsum("bcpl,bcl->bcp", onehot.astype(jnp.bfloat16),
-                     lut.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
+    single nonzero per row, values <= 255 exact in bf16).
+
+    The (B, C, P, 256) bf16 one-hot runs every RandAugment round for the
+    whole batch; past the memory budget (miniimagenet 84x84 at the flagship
+    batch size would be ~16 GiB) fall back to take_along_axis on the
+    256-entry table — exact, no bf16 involved (same P gate as _warp)."""
+    b, c, p = x.shape
+    if p <= _MATMUL_MAX_PIXELS and 512 * b * c * p <= _MATMUL_MAX_BYTES:
+        onehot = (x[..., None] == jnp.arange(256, dtype=jnp.int32))
+        out = jnp.einsum("bcpl,bcl->bcp", onehot.astype(jnp.bfloat16),
+                         lut.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+    return jnp.take_along_axis(lut, x, axis=-1)
 
 
 def _equalize_lut(hist, npix: int):

@@ -45,22 +45,32 @@ def test_network(model, state: TrainState, base_images, base_labels,
                  test_images, test_labels, num_classes: int, tau: float,
                  epsilon="auto", k: int = 25, batch_size: int = 1250,
                  solver: str = "cholesky", normalize_fn=None,
-                 predictor: str = "GL", norm=None) -> float:
+                 predictor: str = "GL", norm=None,
+                 tail: str = "exact") -> float:
     """Per-batch network accuracy (test_network, utils.py:596-634).
 
     predictor='GL': each test batch is classified by the network + graph
     head against the single base batch (lap(features, Y, opt.temp), so pass
     the driver's --temp as ``tau``).  predictor='MLP': the aux classifier
-    head alone (utils.py:621-624).  A tail batch shorter than ``batch_size``
-    is padded to the compiled shape (repeating its rows) and only the real
-    rows are scored — the reference instead runs a smaller final graph;
-    deviation noted in PARITY.md.
+    head alone (utils.py:621-624).
+
+    ``tail``: what to do with a final test batch shorter than
+    ``batch_size``.  'exact' (default) runs it as a smaller graph — the
+    reference's semantics (utils.py:602-608); costs one extra jit trace for
+    the tail shape, cached across eval epochs.  'pad' repeats rows up to
+    the compiled shape and scores only the real rows — no extra compile
+    (useful when relay compile latency dominates), but duplicated rows
+    perturb the tail graph's KNN lists and auto-eps bandwidths, so tail
+    scores deviate from the reference (measured ~0.05-0.36 absolute on a
+    24-real/40-slot tail, tests/test_guards.py).
 
     ``norm=(mean, std)``: ship raw uint8 test batches and normalize inside
     the jitted step (4x smaller transfers); otherwise ``normalize_fn`` runs
     on host.  Predictions stay device futures until all batches are
     dispatched so transfers pipeline with compute.
     """
+    if tail not in ("exact", "pad"):
+        raise ValueError(f"unknown tail mode {tail!r}")
     if predictor == "GL":
         gl_step = make_gl_eval_step(model, num_classes, tau, epsilon, k,
                                     solver, norm=norm)
@@ -78,7 +88,7 @@ def test_network(model, state: TrainState, base_images, base_labels,
     for i in range(0, n, batch_size):
         chunk = test_images[i:i + batch_size]
         real = len(chunk)
-        if real < batch_size:
+        if real < batch_size and tail == "pad":
             chunk = chunk[np.arange(batch_size) % real]
         x = jnp.asarray(host_norm(np.asarray(chunk)))
         futs.append(((gl_step(state, base_x, base_y, x) if predictor == "GL"
@@ -97,11 +107,19 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
                          num_classes: int, train_images=None,
                          knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, batch_size: int = 1024,
-                         norm=None) -> float:
+                         norm=None, mesh=None,
+                         shard_min_n: int = 20000) -> float:
     """Full transductive eval (test_GL_NP, utils.py:637-660): features of
     base + (optional) unlabeled-train + test, one big k=50 graph, CG solve;
     accuracy on the test slice.  ``norm=(mean, std)``: raw uint8 transfer
-    + device-side normalization (``normalize_fn`` is then unused)."""
+    + device-side normalization (``normalize_fn`` is then unused).
+
+    ``mesh``: a Mesh with a 'graph' axis routes graphs of >= ``shard_min_n``
+    nodes through the edge-partitioned multi-device solver
+    (parallel/edge_shard.py: in-mesh KNN build + halo-exchange CG) — the
+    production scale path replacing the reference's single-CPU 60k-node
+    scipy solve (utils.py:637-651).  Smaller graphs stay on the single
+    -device solver (the sharding overhead is not worth it)."""
     encode_step = make_encode_step(model, norm=norm)
     host_norm = normalize_fn if norm is None else None
     base_f = encode_dataset(encode_step, state, base_images, host_norm,
@@ -115,9 +133,21 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
     parts.append(test_f)
     all_f = jnp.asarray(np.concatenate(parts, axis=0))
     y = jnp.asarray(np.eye(num_classes, dtype=np.float32)[base_labels])
-    u, cg_iters, cg_err = transductive_laplace(
-        all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
-        return_info=True)
+    # tiny datasets: k cannot exceed the node count (self included) — the
+    # reference's knnsearch has the same hard bound
+    knn_num = min(knn_num, int(all_f.shape[0]))
+    n_nodes = int(all_f.shape[0])
+    if (mesh is not None and "graph" in mesh.axis_names
+            and mesh.shape["graph"] > 1 and n_nodes >= shard_min_n):
+        from ..parallel.edge_shard import edge_sharded_transductive_laplace
+
+        u, cg_iters, cg_err = edge_sharded_transductive_laplace(
+            mesh, all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
+            return_info=True)
+    else:
+        u, cg_iters, cg_err = transductive_laplace(
+            all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
+            return_info=True)
     pred = np.asarray(jnp.argmax(u, axis=1))[-len(test_images):]
     acc = 100.0 * float(np.mean(pred == test_labels))
     print(f"Test set: Accuracy for GL predictor "

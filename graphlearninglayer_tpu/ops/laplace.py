@@ -61,7 +61,13 @@ __all__ = ["LaplaceConfig", "laplace_learning", "GRAD_NORM_WARN_THRESHOLD"]
 # commented-out GLL.py:161-165 variant used a looser bound).  When the
 # threshold is exceeded a warning is printed from device via
 # jax.debug.print.  Set to 0/None to disable (read at trace time).
+# Per-call override: ``laplace_learning(..., grad_warn=...)`` — dryruns and
+# tests on random data pass None so the one channel the multichip driver
+# records stays free of benign threshold noise.
 GRAD_NORM_WARN_THRESHOLD: float | None = 10.0
+
+# LaplaceConfig.grad_warn sentinel: "defer to the module-level threshold".
+_GRAD_WARN_DEFAULT = -1.0
 
 
 _CALLBACKS_OK: bool | None = None
@@ -100,9 +106,10 @@ def _callbacks_supported() -> bool:
     return _CALLBACKS_OK
 
 
-def _warn_exploding_grad(gx, gbar):
-    thresh = GRAD_NORM_WARN_THRESHOLD
-    if not thresh or not _callbacks_supported():
+def _warn_exploding_grad(gx, gbar, thresh=_GRAD_WARN_DEFAULT):
+    if thresh == _GRAD_WARN_DEFAULT:
+        thresh = GRAD_NORM_WARN_THRESHOLD
+    if not thresh or thresh < 0 or not _callbacks_supported():
         return gx
     gnorm = jnp.linalg.norm(gbar)
     onorm = jnp.linalg.norm(gx)
@@ -140,6 +147,10 @@ class LaplaceConfig(NamedTuple):
     cg_max_iter: int = 100_000
     mode: str = "dense"
     use_pallas: str = "auto"  # 'auto' = Pallas kernels on TPU backends only
+    # exploding-gradient warn threshold for THIS op instance; the default
+    # sentinel defers to the module-level GRAD_NORM_WARN_THRESHOLD, None
+    # disables (used by dryruns/tests on random data).
+    grad_warn: float | None = _GRAD_WARN_DEFAULT
 
     @property
     def auto_eps(self) -> bool:
@@ -148,7 +159,7 @@ class LaplaceConfig(NamedTuple):
 
 def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
                      cg_tol=1e-10, cg_max_iter=100_000, mode="auto",
-                     use_pallas="auto"):
+                     use_pallas="auto", grad_warn=_GRAD_WARN_DEFAULT):
     """Functional entry point mirroring ``LaplaceLearningSparseHard.apply``.
 
     x: (n, d) features, first ``y.shape[0]`` rows labeled; y: (k_lab, l)
@@ -164,7 +175,8 @@ def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
         raise ValueError("mode='dense' requires solver='cholesky'")
     cfg = LaplaceConfig(float(tau), epsilon if isinstance(epsilon, str)
                         else float(epsilon), int(k), solver, float(cg_tol),
-                        int(cg_max_iter), mode, use_pallas)
+                        int(cg_max_iter), mode, use_pallas,
+                        None if grad_warn is None else float(grad_warn))
     return _laplace_op(cfg, x, y)
 
 
@@ -254,7 +266,7 @@ def _laplace_bwd(cfg: LaplaceConfig, res, gbar):
     if cfg.mode == "dense":
         gx = dense_backward(g, y, pred, x, factor, gbar, cfg.auto_eps,
                             w=deg, use_pallas=cfg.use_pallas)
-        return _warn_exploding_grad(gx, gbar), jnp.zeros_like(y)
+        return _warn_exploding_grad(gx, gbar, cfg.grad_warn), jnp.zeros_like(y)
     n, k = g.nbr.shape
     k_lab = y.shape[0]
     w, v = edge_weights(g)
@@ -298,7 +310,7 @@ def _laplace_bwd(cfg: LaplaceConfig, res, gbar):
         gx = gx + b[:, None] * xd
         gx = gx.at[kth].add(-b[:, None] * xd)
 
-    return _warn_exploding_grad(gx, gbar), jnp.zeros_like(y)
+    return _warn_exploding_grad(gx, gbar, cfg.grad_warn), jnp.zeros_like(y)
 
 
 _laplace_op.defvjp(_laplace_fwd, _laplace_bwd)

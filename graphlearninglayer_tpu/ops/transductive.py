@@ -125,10 +125,20 @@ def _solve_sorted(g, y, tau: float):
     c_s = coefw.reshape(-1)[order]
 
     def matvec(p):
-        out = jnp.einsum("nk,nkl->nl", coefw, p[g.nbr])      # out-edge half
-        contrib = c_s[:, None] * p[src_s]                    # in-edge half
-        return out + jax.ops.segment_sum(contrib, dst_s, num_segments=n,
-                                         indices_are_sorted=True)
+        # transposed (l, n) layout throughout (same fix as ell_spmm,
+        # ops/graph.py): a direct p[g.nbr] / p[src_s] gather materializes
+        # (n, k, l) / (E, l) intermediates whose minor class dim l (~10)
+        # is lane-padded to 128 — a 12.8x memory blowup (~6 GB at n=120k)
+        # that, not HBM, capped the single-chip ceiling.  Gathering the
+        # transpose keeps the minor dims (n, k) / (E,) wide and fully
+        # packed; broadcast-multiply + reduce instead of einsum (XLA's
+        # dot_general would transpose the gathered operand back).
+        pt = p.T                                               # (l, n)
+        out_t = jnp.sum(coefw[None] * jnp.take(pt, g.nbr, axis=1), axis=2)
+        contrib_t = c_s[None, :] * jnp.take(pt, src_s, axis=1)  # (l, E)
+        in_t = jnp.zeros_like(pt).at[:, dst_s].add(
+            contrib_t, indices_are_sorted=True)
+        return (out_t + in_t).T
 
     return _jacobi_cg(matvec, sym_rowsum(g, w), y, tau, y.shape[0])
 

@@ -432,7 +432,8 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
                                       axis: str = "graph",
                                       knn_block: int = 2048,
                                       n_clusters: int | None = None,
-                                      return_stats: bool = False):
+                                      return_stats: bool = False,
+                                      return_info: bool = False):
     """Cluster-permuted, edge-partitioned transductive Laplace learning.
 
     Numerically equivalent to ``ops.transductive.transductive_laplace``
@@ -489,4 +490,8 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     pred = unperm[k_lab:n_real]
     if return_stats:
         return jnp.asarray(pred), plan.stats
+    if return_info:  # (pred, cg_iters, final_err) — observability parity
+        # with ops.transductive.transductive_laplace(return_info=True)
+        return (jnp.asarray(pred), int(np.asarray(iters)),
+                float(np.asarray(err)))
     return jnp.asarray(pred)

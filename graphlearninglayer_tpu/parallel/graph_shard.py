@@ -61,7 +61,10 @@ def sharded_laplace_solve(mesh: Mesh, g: BatchGraph, y: jax.Array,
     w, _ = edge_weights(g)
     cap = ell_cap(int(max_in_degree(g)))
     ell = build_sym_ell(g, w, cap)
-    y_full = jnp.zeros((n, l), w.dtype).at[:k_lab].set(y)
+    # cast BEFORE the scatter: under x64 a float64 one-hot scattered into
+    # the f32 buffer trips jax's unsafe-cast FutureWarning (a hard error in
+    # future releases)
+    y_full = jnp.zeros((n, l), w.dtype).at[:k_lab].set(y.astype(w.dtype))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(axis, None), P(axis, None)),

@@ -174,6 +174,33 @@ def run_training(opt) -> dict:
     # vectors only, removing the relay wire floor
     # (benchmarks/probe_device_aug.py).
     device_data = bool(getattr(opt, "device_data", False))
+
+    # --mesh: multi-device execution as a production path (SURVEY §2.3/§7;
+    # replaces the reference's DataParallel encoder, utils.py:546-548, and
+    # its single-CPU 60k transductive solve, utils.py:637-651).  The train
+    # step shards the batch (and the graph head's node dimension) over the
+    # mesh; the transductive eval routes large graphs through the edge
+    # -partitioned halo-exchange solver.
+    mesh = eval_mesh = None
+    mesh_opt = str(getattr(opt, "mesh", "off"))
+    grad_warn = getattr(opt, "grad_warn", 10.0) or None
+    if mesh_opt != "off" and not device_data:
+        n_visible = len(jax.devices())
+        want = n_visible if mesh_opt == "auto" else int(mesh_opt)
+        if want > 1:
+            if n_visible < want:
+                raise ValueError(f"--mesh {want} but only {n_visible} "
+                                 "devices are visible")
+            from ..parallel import make_mesh
+            mesh = make_mesh(want, axes=("data", "graph"))
+            # all devices on one 'graph' axis for the edge-partitioned
+            # transductive eval (maximal node sharding)
+            eval_mesh = make_mesh(want, axes=("graph",))
+            print(f"mesh: {want} devices "
+                  f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    elif mesh_opt not in ("off", "auto") and device_data:
+        print("mesh: --device_data path is single-device; ignoring --mesh")
+
     if device_data:
         data_dev = jax.device_put(
             np.ascontiguousarray(
@@ -183,15 +210,25 @@ def run_training(opt) -> dict:
         gl_step = make_gl_train_step_from_data(
             model, tx, num_classes, spec.image_shape, tau=opt.temp,
             epsilon=opt.epsilon, k=opt.knn_k, solver=opt.gl_solver,
-            score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug)
+            score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug,
+            grad_warn=grad_warn)
         mlp_step = make_mlp_train_step_from_data(
             model, tx, spec.image_shape, norm=step_norm, aug=dev_aug)
+    elif mesh is not None:
+        from .trainer import (make_sharded_gl_train_step,
+                              make_sharded_mlp_train_step)
+        gl_step = make_sharded_gl_train_step(
+            model, tx, num_classes, mesh, tau=opt.temp, epsilon=opt.epsilon,
+            k=opt.knn_k, solver=opt.gl_solver, score_type=opt.gl_score_type,
+            norm=step_norm, grad_warn=grad_warn)
+        mlp_step = make_sharded_mlp_train_step(model, tx, mesh,
+                                               norm=step_norm)
     else:
         gl_step = make_gl_train_step(model, tx, num_classes, tau=opt.temp,
                                      epsilon=opt.epsilon, k=opt.knn_k,
                                      solver=opt.gl_solver,
                                      score_type=opt.gl_score_type,
-                                     norm=step_norm)
+                                     norm=step_norm, grad_warn=grad_warn)
         mlp_step = make_mlp_train_step(model, tx, norm=step_norm)
 
     # --ds_stepsize strides ONLY the pool the INITIAL class-uniform base
@@ -231,7 +268,8 @@ def run_training(opt) -> dict:
             model, state, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
-            tau=opt.tau, norm=eval_norm)
+            tau=opt.tau, norm=eval_norm, mesh=eval_mesh,
+            shard_min_n=getattr(opt, "shard_eval_min_n", 20000))
         if opt.sup_train_type == "mlp":
             return test_network(
                 model, state, base_imgs, base_labels, spec.test_images,

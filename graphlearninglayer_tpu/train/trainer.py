@@ -24,7 +24,8 @@ from .losses import custom_ce_loss
 
 __all__ = ["TrainState", "create_train_state", "make_gl_train_step",
            "make_mlp_train_step", "make_gl_eval_step", "make_mlp_eval_step",
-           "make_encode_step", "make_sharded_gl_train_step", "params_finite",
+           "make_encode_step", "make_sharded_gl_train_step",
+           "make_sharded_mlp_train_step", "params_finite",
            "make_gl_train_step_from_data", "make_mlp_train_step_from_data"]
 
 
@@ -103,12 +104,15 @@ def _scores(pred, labels, score_type: str):
 def make_gl_train_step(model, tx: optax.GradientTransformation,
                        num_classes: int, tau: float, epsilon="auto",
                        k: int = 25, solver: str = "cholesky",
-                       score_type: str = "entropy", norm=None) -> Callable:
+                       score_type: str = "entropy", norm=None,
+                       grad_warn=-1.0) -> Callable:
     """GL-branch step (FullySup.py:152-157): stack base on top of the batch,
     encode, run the graph head with base labels, CE on batch labels.
 
     ``norm=(mean, std)``: accept uint8 batches and normalize on device
-    (see _device_normalize)."""
+    (see _device_normalize).  ``grad_warn``: exploding-gradient warn
+    threshold for the graph op's backward (-1.0 = module default; None
+    disables — dryruns/tests on random data)."""
 
     @jax.jit
     def step(state: TrainState, base_images, base_labels, images, labels, rng):
@@ -121,7 +125,7 @@ def make_gl_train_step(model, tx: optax.GradientTransformation,
                                               state.batch_stats, x,
                                               train=True, rng=rng)
             pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
-                                    k=k, solver=solver)
+                                    k=k, solver=solver, grad_warn=grad_warn)
             return custom_ce_loss(pred, labels), (pred, new_stats)
 
         (loss, (pred, new_stats)), grads = jax.value_and_grad(
@@ -141,7 +145,8 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
                                num_classes: int, mesh, tau: float,
                                epsilon="auto", k: int = 25,
                                solver: str = "cholesky",
-                               score_type: str = "entropy") -> Callable:
+                               score_type: str = "entropy",
+                               norm=None, grad_warn=-1.0) -> Callable:
     """Mesh-sharded GL train step: the CNN is data-parallel over every mesh
     axis (batch rows sharded), and the graph head's node dimension carries a
     sharding constraint over the same axes, so GSPMD tiles the all-pairs
@@ -151,6 +156,8 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
 
     Call with base/batch arrays whose leading dims are divisible by the
     mesh size.  The returned function is jitted with explicit shardings.
+    ``norm=(mean, std)``: accept uint8 batches and normalize on device.
+    ``grad_warn``: see make_gl_train_step.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -161,8 +168,9 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
 
     def step(state: TrainState, base_images, base_labels, images, labels,
              rng):
-        x = jnp.concatenate([base_images, images], axis=0)
-        y = jax.nn.one_hot(base_labels, num_classes, dtype=images.dtype)
+        x = jnp.concatenate([_device_normalize(base_images, norm),
+                             _device_normalize(images, norm)], axis=0)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
 
         def loss_fn(params):
             (_, features), new_stats = _apply(model, params,
@@ -171,7 +179,7 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
             features = jax.lax.with_sharding_constraint(features,
                                                         feat_sharding)
             pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
-                                    k=k, solver=solver)
+                                    k=k, solver=solver, grad_warn=grad_warn)
             return custom_ce_loss(pred, labels), (pred, new_stats)
 
         (loss, (pred, new_stats)), grads = jax.value_and_grad(
@@ -188,12 +196,44 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
                                        batch_sharding, None))
 
 
+def make_sharded_mlp_train_step(model, tx: optax.GradientTransformation,
+                                mesh, norm=None) -> Callable:
+    """MLP-branch step with the batch sharded over every mesh axis (classic
+    DP): XLA shards the CNN along the batch rows and inserts the gradient
+    psums; params/opt state replicated.  ``norm``: see make_mlp_train_step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    batch_sharding = NamedSharding(mesh, P(axes))
+
+    def step(state: TrainState, images, labels, rng):
+        images = _device_normalize(images, norm)
+
+        def loss_fn(params):
+            (pred, _), new_stats = _apply(model, params, state.batch_stats,
+                                          images, train=True, rng=rng)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}
+
+    return jax.jit(step, in_shardings=(None, batch_sharding, batch_sharding,
+                                       None))
+
+
 def make_gl_train_step_from_data(model, tx: optax.GradientTransformation,
                                  num_classes: int, image_shape, tau: float,
                                  epsilon="auto", k: int = 25,
                                  solver: str = "cholesky",
                                  score_type: str = "entropy", norm=None,
-                                 aug=None) -> Callable:
+                                 aug=None, grad_warn=-1.0) -> Callable:
     """GL step over a DEVICE-RESIDENT dataset: per step the host sends only
     index/label vectors; base+batch rows are gathered on device and
     augmented inside the jitted step (data/device_aug.py).
@@ -231,7 +271,7 @@ def make_gl_train_step_from_data(model, tx: optax.GradientTransformation,
                                               state.batch_stats, x,
                                               train=True, rng=rng)
             pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
-                                    k=k, solver=solver)
+                                    k=k, solver=solver, grad_warn=grad_warn)
             return custom_ce_loss(pred, labels), (pred, new_stats)
 
         (loss, (pred, new_stats)), grads = jax.value_and_grad(

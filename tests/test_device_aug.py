@@ -179,6 +179,93 @@ def test_from_data_step_matches_host_step(rng):
                                    atol=1e-7)
 
 
+def test_prefix_warp_matches_sequential_ops(rng):
+    """The composed geometric prefix (rotate -> flip -> pad+crop as ONE
+    resample, _prefix_src + _warp) must be bit-exact with applying the
+    three single-op functions sequentially — the core equivalence claim of
+    the in-jit augmentation path, over random configs covering both pad
+    modes, flip on/off, rotation on/off, and gray/RGB images."""
+    for trial in range(30):
+        c = int(rng.integers(0, 2)) * 2 + 1           # 1 or 3 channels
+        h = w = int(rng.choice([28, 32]))
+        img = rng.integers(0, 256, (h, w, c), np.uint8)
+        rotation = int(rng.choice([0, 10, 20]))
+        flip = bool(rng.integers(0, 2))
+        do_flip = bool(rng.integers(0, 2))
+        pad = int(rng.choice([0, 4, 8]))
+        reflect = bool(rng.integers(0, 2))
+        ang_val = float((rng.random() * 2 - 1) * rotation)
+        i = int(rng.integers(0, 2 * pad + 1)) if pad else 0
+        j = int(rng.integers(0, 2 * pad + 1)) if pad else 0
+        if not (rotation or flip or pad):
+            continue
+
+        # sequential single-op reference
+        want = img
+        if rotation > 0:
+            want = np.asarray(D.device_rotate(want, ang_val))
+        if flip and do_flip:
+            want = np.asarray(D.device_mirror(want))
+        if pad > 0:
+            want = np.asarray(D.device_pad_crop(want, pad, reflect, i, j))
+
+        # composed prefix
+        x = D._to_planar(jnp.asarray(img)[None])
+        ang = jnp.asarray([ang_val], D._ftype()) if rotation > 0 else None
+        off = jnp.asarray([[i, j]], jnp.int32)
+        src, valid = D._prefix_src(h, w, 1, ang,
+                                   jnp.asarray([do_flip]), off,
+                                   rotation=rotation, flip=flip, pad=pad,
+                                   pad_reflect=reflect)
+        got = np.asarray(D._from_planar(D._warp(x, src, valid), h, w)[0])
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial={trial} rot={rotation} ang={ang_val} "
+            f"flip={flip}/{do_flip} pad={pad} reflect={reflect} "
+            f"i={i} j={j} c={c}")
+
+
+def test_warp_gather_fallback_matches_matmul(rng):
+    """_warp's memory gates (per-image P cap AND total B*P*P budget) route
+    to a take_along_axis gather that must agree exactly with the one-hot
+    matmul path."""
+    b, c, h, w = 3, 3, 16, 16
+    x = jnp.asarray(rng.integers(0, 256, (b, c, h * w), np.int32))
+    src = jnp.asarray(rng.integers(0, h * w, (b, h * w), np.int32))
+    valid = jnp.asarray(rng.random((b, h * w)) < 0.9)
+    fast = np.asarray(D._warp(x, src, valid))
+    old_pix, old_bytes = D._MATMUL_MAX_PIXELS, D._MATMUL_MAX_BYTES
+    try:
+        D._MATMUL_MAX_PIXELS = 1            # per-image gate
+        slow_p = np.asarray(D._warp(x, src, valid))
+        D._MATMUL_MAX_PIXELS = old_pix
+        D._MATMUL_MAX_BYTES = 1             # batch-product gate
+        slow_b = np.asarray(D._warp(x, src, valid))
+    finally:
+        D._MATMUL_MAX_PIXELS, D._MATMUL_MAX_BYTES = old_pix, old_bytes
+    np.testing.assert_array_equal(fast, slow_p)
+    np.testing.assert_array_equal(fast, slow_b)
+
+
+def test_equalize_lut_fallback_matches_matmul(rng):
+    """The equalize LUT's large-image gather fallback (take_along_axis on
+    the 256-entry table) must agree exactly with the one-hot matmul."""
+    b, c, p = 2, 3, 1024
+    x = jnp.asarray(rng.integers(0, 256, (b, c, p), np.int32))
+    lut = D._equalize_lut(D._hist_planar(x), p)
+    fast = np.asarray(D._apply_lut_planar(x, lut))
+    old = D._MATMUL_MAX_PIXELS
+    try:
+        D._MATMUL_MAX_PIXELS = 1
+        slow = np.asarray(D._apply_lut_planar(x, lut))
+    finally:
+        D._MATMUL_MAX_PIXELS = old
+    np.testing.assert_array_equal(fast, slow)
+    # equalize on a full batch via the public op stays exact for big P too
+    img = rng.integers(0, 256, (84, 84, 3), np.uint8)   # miniimagenet shape
+    out = np.asarray(D.device_apply_op(img, D.OP_IDS["equalize"], 0.5, False))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
 @requires_native
 def test_rand_round_covers_every_op_class(rng):
     """Sampling many keys exercises every op id (the 4-way class select);

@@ -97,6 +97,88 @@ def test_exploding_grad_warning_fires(capfd):
         laplace_mod.GRAD_NORM_WARN_THRESHOLD = old
 
 
+def test_grad_warn_per_call_override(capfd):
+    """grad_warn=None must silence the exploding-grad warning even when the
+    module-level threshold would fire, and a tiny per-call threshold must
+    fire even when the module level is huge (the dryrun/driver split)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(60, 8)))
+    y = jnp.asarray(np.eye(3)[rng.integers(0, 3, 12)])
+    gbar = jnp.asarray(rng.normal(size=(48, 3)))
+
+    def loss(xj, gw):
+        return jnp.sum(laplace_learning(xj, y, tau=0.0, k=6, grad_warn=gw)
+                       * gbar)
+
+    old = laplace_mod.GRAD_NORM_WARN_THRESHOLD
+    try:
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = 1e-12
+        g = jax.grad(lambda xj: loss(xj, None))(x)
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        out = capfd.readouterr()
+        assert "possible exploding gradient" not in out.out + out.err
+
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = 1e12
+        g = jax.grad(lambda xj: loss(xj, 1e-12))(x)
+        jax.block_until_ready(g)
+        jax.effects_barrier()
+        out = capfd.readouterr()
+        assert "possible exploding gradient" in out.out + out.err
+    finally:
+        laplace_mod.GRAD_NORM_WARN_THRESHOLD = old
+
+
+def test_network_tail_batch_matches_oracle_smaller_graph(capfd):
+    """A tail test batch shorter than the compiled batch size must follow
+    the reference's semantics (utils.py:596-634): run as a SMALLER final
+    graph.  tail='exact' (the default) must reproduce the oracle's smaller
+    -graph accuracy on a non-divisible test set; tail='pad' (the
+    compile-free fallback) is allowed to deviate (duplicated rows perturb
+    KNN lists and auto-eps) but must stay within a few points."""
+    from tests.oracle import reference_op as ref
+
+    from graphlearninglayer_tpu.train.trainer import make_encode_step
+
+    spec, model, tx, state = _setup(n_train=128, seed=3)
+    tf = Transform("synthetic", "eval")
+    base_imgs, base_labels = spec.train_images[:24], spec.train_labels[:24]
+    n_test, bs, k, tau = 64, 40, 6, 0.07   # one full batch + 24-row tail
+    test_imgs, test_labels = spec.test_images[:n_test], \
+        spec.test_labels[:n_test]
+    assert n_test % bs != 0
+
+    kwargs = dict(tau=tau, epsilon="auto", k=k, batch_size=bs,
+                  normalize_fn=tf.normalize, predictor="GL")
+    acc_exact = network_eval(model, state, base_imgs, base_labels, test_imgs,
+                             test_labels, 4, **kwargs)
+    acc_pad = network_eval(model, state, base_imgs, base_labels, test_imgs,
+                           test_labels, 4, tail="pad", **kwargs)
+    capfd.readouterr()
+
+    # oracle: same encoder features, each batch the reference way — the
+    # tail as a smaller graph (no padding)
+    encode = make_encode_step(model)
+    base_f = np.asarray(encode(state, jnp.asarray(tf.normalize(base_imgs))),
+                        np.float64)
+    y_oh = ref.one_hot(np.asarray(base_labels), 4)
+    correct = 0
+    for i in range(0, n_test, bs):
+        chunk_f = np.asarray(
+            encode(state, jnp.asarray(tf.normalize(test_imgs[i:i + bs]))),
+            np.float64)
+        scores, _ = ref.forward(np.concatenate([base_f, chunk_f]), y_oh,
+                                tau=tau, epsilon="auto", k=k)
+        pred = np.argmax(scores, axis=1)
+        correct += int(np.sum(pred == test_labels[i:i + len(chunk_f)]))
+    oracle_acc = 100.0 * correct / n_test
+
+    # exact tail == reference semantics (<=1 f32-vs-f64 borderline flip)
+    assert abs(acc_exact - oracle_acc) <= 100.0 * 1 / n_test
+    # padded tail: documented deviation, bounded
+    assert abs(acc_pad - oracle_acc) <= 100.0 * 6 / n_test
+
+
 def test_test_network_gl_and_mlp_predictors(capfd):
     spec, model, tx, state = _setup(n_train=128)
     tf = Transform("synthetic", "eval")

@@ -52,6 +52,48 @@ def test_preact_resnet18():
     np.testing.assert_allclose(np.exp(np.asarray(pred)).sum(1), 1.0, atol=1e-4)
 
 
+def test_resnet_mnist_supcon_wrappers():
+    """Functional forward coverage of the resnet_MNIST wrappers (reference
+    networks/resnet_MNIST.py:165-237): SupConResNet emits an L2-normalized
+    feat_dim embedding, SupCEResNet raw logits, LinearClassifier a probe
+    over given features, SmallNet log-softmax rows."""
+    from graphlearninglayer_tpu.models.resnet_mnist import (
+        LinearClassifier, SmallNet, SupCEResNet, SupConResNet,
+        mnist_model_dict)
+
+    for head in ("linear", "mlp"):
+        feat = _init_apply(SupConResNet(name="resnet18", head=head,
+                                        feat_dim=24), (2, 28, 28, 1))
+        assert feat.shape == (2, 24)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(feat), axis=1),
+                                   1.0, atol=1e-5)
+
+    logits = _init_apply(SupCEResNet(name="resnet18", num_classes=7),
+                         (2, 28, 28, 1))
+    assert logits.shape == (2, 7)
+    # raw logits, not probabilities
+    assert not np.allclose(np.asarray(logits).sum(1), 1.0, atol=1e-3)
+
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (3, 512), jnp.float32)
+    clf = LinearClassifier(num_classes=5)
+    vars_c = clf.init(rng, feats)
+    out = clf.apply(vars_c, feats)
+    assert out.shape == (3, 5)
+
+    logp = _init_apply(SmallNet(num_classes=10), (2, 28, 28, 1))
+    assert logp.shape == (2, 10)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(1), 1.0,
+                               atol=1e-4)
+
+    # the dict advertises the encoder feature dims the wrappers rely on
+    for name, (make, dim) in mnist_model_dict.items():
+        if name != "resnet18":
+            continue
+        enc_feat = _init_apply(make(), (2, 28, 28, 1))
+        assert enc_feat.shape == (2, dim)
+
+
 def test_smallcnn_pair():
     logp = _init_apply(SmallCNN(), (2, 28, 28, 1))
     assert logp.shape == (2, 10)
