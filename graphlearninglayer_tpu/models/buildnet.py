@@ -21,6 +21,9 @@ from .cnn import CifarCNN, l2_normalize
 # — mirrors BuildNet.py:39-47.
 model_dict: dict[str, tuple[Callable[..., nn.Module], int]] = {
     "resnet18": (_resnet.resnet18, 512),
+    # TPU-shape variant (space-to-depth stem, NOT reference-equivalent;
+    # ~1.36x faster encoder step on v5e — models/resnet.py docstring)
+    "resnet18_s2d": (_resnet.resnet18_s2d, 512),
     "resnet34": (_resnet.resnet34, 512),
     "resnet50": (_resnet.resnet50, 2048),
     "resnet101": (_resnet.resnet101, 2048),

@@ -74,24 +74,47 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns pooled features of dim 512*expansion; input NHWC."""
+    """Returns pooled features of dim 512*expansion; input NHWC.
+
+    ``s2d_stem=True`` (opt-in, NOT reference-equivalent): space-to-depth
+    patchify stem — 2x2 pixel patches fold into channels (HxWx C ->
+    H/2 x W/2 x 4C) before a widened 128-channel stem, and stage 1 runs
+    128 channels at the halved resolution.  Same conv FLOP total, but
+    every activation fills the TPU's 128-lane tiles: the flagship encoder
+    fwd+bwd drops 46.0 -> 33.8 ms on v5e (benchmarks/
+    probe_stage1_variants.py; exact-equivalence repacks of the reference
+    stage1 were probed and do NOT help — its 64-channel convs are capped
+    ~33% MFU by shape, probe_stage1_pairpack.py).
+    """
 
     block: type
     stage_sizes: Sequence[int]
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
-        out = nn.Conv(64, (3, 3), padding=1, use_bias=False,
+        if self.s2d_stem:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+                0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            stem_width, stage_planes = 128, (128, 128, 256, 512)
+        else:
+            stem_width, stage_planes = 64, (64, 128, 256, 512)
+        out = nn.Conv(stem_width, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype)(x)
         out = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=0.9, epsilon=1e-5,
                                    dtype=self.dtype)(out))
         for stage, (planes, blocks) in enumerate(
-                zip((64, 128, 256, 512), self.stage_sizes)):
+                zip(stage_planes, self.stage_sizes)):
             for i in range(blocks):
-                stride = 2 if (stage > 0 and i == 0) else 1
+                # with the patchify stem the input is already at stage-2
+                # resolution, so stage 1 keeps stride 1 and later stages
+                # stride as usual
+                stride = 2 if (stage > (1 if self.s2d_stem else 0)
+                               and i == 0) else 1
                 out = self.block(planes, stride, dtype=self.dtype)(out, train)
         # pool in float32 and return float32 features regardless of compute
         # dtype: the graph head consumes these directly, and every encoder in
@@ -101,6 +124,12 @@ class ResNet(nn.Module):
 
 def resnet18(dtype=jnp.float32):
     return ResNet(BasicBlock, (2, 2, 2, 2), dtype=dtype)
+
+
+def resnet18_s2d(dtype=jnp.float32):
+    """Space-to-depth-stem ResNet-18 (opt-in TPU-shape variant — see
+    ResNet.s2d_stem; ~1.36x faster encoder step at the flagship shape)."""
+    return ResNet(BasicBlock, (2, 2, 2, 2), dtype=dtype, s2d_stem=True)
 
 
 def resnet34(dtype=jnp.float32):

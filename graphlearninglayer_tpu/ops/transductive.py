@@ -18,16 +18,19 @@ k=50, l=10 — benchmarks/probe_spmm_variants.py):
     has no block structure (tile budget exceeded) or the graph is small.
   * ``mode='sorted'`` — single jit; the in-edge half is applied as
     a segment-sum over edges pre-sorted by destination (sorted once per
-    graph, reused every CG iteration).  ~1.5x the scatter mode on TPU and
-    the only formulation with flat memory behavior at 60k+ nodes.
+    graph, reused every CG iteration).  ~1.5x the scatter mode on TPU; the
+    matvec runs in transposed (l, n) layout so no intermediate carries the
+    class dim in the 128-lane position — flat memory to 200k+ nodes
+    (120k solve 4.9->2.5 s after this fix; benchmarks/RESULTS.md).
   * ``mode='scatter'`` — the simplest single-jit path whose matvec
     scatter-adds the in-edge half each iteration.  Kept as the numerics
     oracle.
   * ``mode='ell'`` — two jitted stages: (1) graph build, (2) solve over the
-    combined symmetric ELL structure (ops/graph.py).  Scatter-free, and the
-    layout used by the row-sharded multi-device solver — but on a single
-    TPU chip XLA materializes the (n, S, l) gather with the class dim
-    padded to 128 lanes, so it is memory-unsafe for very large graphs.
+    combined symmetric ELL structure (ops/graph.py, also in transposed
+    layout).  Scatter-free and the layout used by the row-sharded
+    multi-device solver; on one chip its (l, n, S) gather materializes
+    S/k more memory per matvec than 'sorted', so 'sorted' is the
+    large-graph default fallback.
 """
 from __future__ import annotations
 

@@ -108,6 +108,16 @@ def _records_and_plots(save_folder, records):
 
 
 def run_training(opt) -> dict:
+    # DCN multi-host init (no-op unless a coordinator is configured via
+    # env/flags; SURVEY §2.3) — must run before the first computation so
+    # jax.devices() spans every host when launched under a pod runner
+    from ..parallel.multihost import initialize_multihost
+    if initialize_multihost():
+        print(f"multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}")
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
     rng_np = np.random.default_rng(opt.seed)
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
                         n_train=getattr(opt, "synth_n_train", 4096),
@@ -128,10 +138,13 @@ def run_training(opt) -> dict:
     # to_device: batch transfers ride the producer thread, overlapping the
     # previous step's compute (the relay wire is the per-step floor —
     # benchmarks/probe_transfer_overlap.py)
+    # multi-process: batches stay host-side and are assembled into GLOBAL
+    # sharded arrays below (every process draws identical batches from the
+    # same seed); single-process keeps the in-producer device_put overlap
     loader = BatchLoader(spec.train_images, spec.train_labels,
                          opt.batch_size, sup_tf, seed=opt.seed,
                          workers=opt.num_workers, emit="uint8",
-                         to_device=True)
+                         to_device=not multiproc)
     step_norm = (sup_tf.mean, sup_tf.std)
     if len(loader) == 0:
         raise ValueError(
@@ -201,6 +214,34 @@ def run_training(opt) -> dict:
     elif mesh_opt not in ("off", "auto") and device_data:
         print("mesh: --device_data path is single-device; ignoring --mesh")
 
+    # batch/replicated converters for the step inputs.  Multi-process runs
+    # must hand the jitted step GLOBAL arrays (a process-local committed
+    # array cannot feed a computation spanning processes): every process
+    # holds the identical host batch, so any addressable shard is served
+    # by slicing the local copy.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _batch_shd = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        _repl_shd = NamedSharding(mesh, P())
+        if multiproc:
+            def _glob(a, sh):
+                a = np.asarray(a)
+                return jax.make_array_from_callback(a.shape, sh,
+                                                    lambda idx: a[idx])
+            conv_batch = lambda a: _glob(a, _batch_shd)
+            conv_repl = lambda a: _glob(a, _repl_shd)
+            conv_key = lambda k: np.asarray(k)
+
+            def globalize_state(st):
+                return jax.tree_util.tree_map(
+                    lambda a: _glob(a, _repl_shd), st)
+        else:
+            conv_batch = conv_repl = jnp.asarray
+            conv_key = globalize_state = lambda a: a
+    else:
+        conv_batch = conv_repl = jnp.asarray
+        conv_key = globalize_state = lambda a: a
+
     if device_data:
         data_dev = jax.device_put(
             np.ascontiguousarray(
@@ -251,9 +292,22 @@ def run_training(opt) -> dict:
     if device_data:
         base_idx_dev = jnp.asarray(base_sel)
         base_labels_dev = jnp.asarray(base_labels)
+    # multi-process: promote the (replicated) train state to global arrays
+    # once — step outputs stay global from here on
+    state = globalize_state(state)
     records = {"loss": [], "train_acc": [], "test_acc": []}
 
     edges_per_step = 2 * (opt.num_train + opt.batch_size) * opt.knn_k
+
+    def _host_state():
+        """Multi-process: the per-batch eval steps run as LOCAL programs,
+        so pull the (replicated) global state back to host arrays first;
+        identity otherwise."""
+        if not multiproc:
+            return state
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a.addressable_data(0))
+            if isinstance(a, jax.Array) else a, state)
 
     def evaluate():
         # eval cadence mirrors FullySup.py:253-261/287-296: the gl branch
@@ -264,15 +318,17 @@ def run_training(opt) -> dict:
         # (the eval encode otherwise ships the full train+test sets as f32
         # through the ~55 MB/s relay link every eval)
         eval_norm = (eval_tf.mean, eval_tf.std)
+        st = _host_state()
         tacc = test_gl_transductive(
-            model, state, base_imgs, base_labels, spec.test_images,
+            model, st, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
-            tau=opt.tau, norm=eval_norm, mesh=eval_mesh,
+            tau=opt.tau, norm=eval_norm,
+            mesh=None if multiproc else eval_mesh,
             shard_min_n=getattr(opt, "shard_eval_min_n", 20000))
         if opt.sup_train_type == "mlp":
             return test_network(
-                model, state, base_imgs, base_labels, spec.test_images,
+                model, st, base_imgs, base_labels, spec.test_images,
                 spec.test_labels, num_classes, tau=opt.temp,
                 epsilon=opt.epsilon, k=opt.knn_k,
                 batch_size=min(opt.test_batch_size, len(spec.test_images)),
@@ -351,9 +407,9 @@ def run_training(opt) -> dict:
                     else:
                         base_x, base_y = next(base_iter)
                         state, metrics, scores = gl_step(
-                            state, jnp.asarray(base_x), jnp.asarray(base_y),
-                            jnp.asarray(images), jnp.asarray(labels),
-                            step_key)
+                            state, conv_repl(base_x), conv_repl(base_y),
+                            conv_batch(images), conv_batch(labels),
+                            conv_key(step_key))
                     if (epoch % opt.gl_update_base_epochs == 0
                             and opt.gl_update_base_mode == "score"):
                         pending_scores.append((indices, scores))
@@ -363,8 +419,8 @@ def run_training(opt) -> dict:
                                               jnp.asarray(labels), step_key)
                 else:
                     state, metrics = mlp_step(
-                        state, jnp.asarray(images), jnp.asarray(labels),
-                        step_key)
+                        state, conv_batch(images), conv_batch(labels),
+                        conv_key(step_key))
                 pending.append((metrics, len(labels)))
                 tput.step()
                 batch_time.update(time.time() - end)

@@ -187,7 +187,11 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
-        scores = _scores(pred, labels, score_type)
+        # scores feed host-side base-set selection: replicate so every
+        # process can read them without a cross-process fetch (one (B,)
+        # all-gather, negligible)
+        scores = jax.lax.with_sharding_constraint(
+            _scores(pred, labels, score_type), repl)
         new_state = TrainState(params, new_stats, opt_state, state.step + 1)
         return new_state, {"loss": loss, "acc": acc,
                            "params_finite": params_finite(params)}, scores

@@ -22,13 +22,30 @@ def _ckpt(path: str) -> ocp.CheckpointManager:
 
 
 def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
-    """Write state at ``epoch`` under ``path`` (a directory)."""
+    """Write state at ``epoch`` under ``path`` (a directory).
+
+    Multi-process runs: EVERY process must call this (orbax coordinates
+    its writes with cross-process barriers — a primary-only call hangs
+    the others at the shutdown barrier).  Params/opt state are replicated
+    (the mesh shards only batches/graph nodes), so each process pulls
+    them to host numpy first and orbax's primary does the actual write;
+    the overwrite rename-aside below touches the shared directory from
+    the primary only.
+    """
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if multiproc:
+        import numpy as _np
+
+        payload = jax.tree_util.tree_map(
+            lambda a: _np.asarray(a.addressable_data(0))
+            if isinstance(a, jax.Array) else a, payload)
     if extra:
         payload["extra"] = extra
     # Re-saving an epoch must overwrite: force=True alone is not enough
@@ -42,7 +59,7 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
     step_dir = os.path.join(os.path.abspath(path), str(epoch))
     aside = step_dir + ".replaced"
     moved = False
-    if os.path.isdir(step_dir):
+    if primary and os.path.isdir(step_dir):
         if os.path.isdir(aside):
             shutil.rmtree(aside)
         os.rename(step_dir, aside)

@@ -48,6 +48,47 @@ def test_two_process_distributed_init_and_psum():
         assert f"MULTIHOST_OK pid={pid} psum=6.0" in out, out
 
 
+def test_two_process_fullysup_driver(tmp_path):
+    """The PRODUCTION driver across two OS processes: fullysup --mesh auto
+    trains one epoch on a 4-device mesh spanning both processes (global
+    batch arrays over the coordination service, replicated state, primary
+    -only checkpointing).  Identical seeds -> both processes must report
+    the SAME loss and eval accuracy."""
+    coord = f"localhost:{_free_port()}"
+    child = os.path.join(os.path.dirname(__file__),
+                         "multihost_driver_child.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH", ""), _REPO) if p)
+    procs = []
+    for pid in range(2):
+        wd = tmp_path / f"proc{pid}"
+        wd.mkdir()
+        procs.append(subprocess.Popen(
+            [sys.executable, child, str(pid), "2", coord, str(wd)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    lines = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        ok = [ln for ln in out.splitlines()
+              if ln.startswith("MULTIHOST_DRIVER_OK")]
+        assert ok, out[-4000:]
+        lines.append(ok[0].split(" ", 1)[1])
+    # same seed, same global batches -> identical numerics on both ranks
+    assert lines[0].split("loss=")[1] == lines[1].split("loss=")[1], lines
+
+
 def test_initialize_multihost_noop_without_coordinator(monkeypatch):
     """Single-process runs (no coordinator anywhere) must be a clean no-op
     returning False — the drivers call this unconditionally."""
