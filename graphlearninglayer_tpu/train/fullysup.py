@@ -197,7 +197,7 @@ def run_training(opt) -> dict:
     mesh = eval_mesh = None
     mesh_opt = str(getattr(opt, "mesh", "off"))
     grad_warn = getattr(opt, "grad_warn", 10.0) or None
-    if mesh_opt != "off" and not device_data:
+    if mesh_opt != "off":
         n_visible = len(jax.devices())
         want = n_visible if mesh_opt == "auto" else int(mesh_opt)
         if want > 1:
@@ -211,8 +211,6 @@ def run_training(opt) -> dict:
             eval_mesh = make_mesh(want, axes=("graph",))
             print(f"mesh: {want} devices "
                   f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    elif mesh_opt not in ("off", "auto") and device_data:
-        print("mesh: --device_data path is single-device; ignoring --mesh")
 
     # batch/replicated converters for the step inputs.  Multi-process runs
     # must hand the jitted step GLOBAL arrays (a process-local committed
@@ -243,18 +241,33 @@ def run_training(opt) -> dict:
         conv_key = globalize_state = lambda a: a
 
     if device_data:
-        data_dev = jax.device_put(
-            np.ascontiguousarray(
-                spec.train_images.reshape(len(spec.train_labels), -1)))
+        data_flat = np.ascontiguousarray(
+            spec.train_images.reshape(len(spec.train_labels), -1))
+        # on a mesh the dataset is replicated (one bulk transfer per
+        # device); conv_repl builds the global array in multi-process runs
+        data_dev = (conv_repl(data_flat) if mesh is not None
+                    else jax.device_put(data_flat))
         dev_aug = DeviceTransform(sup_tf.dataset, sup_tf.mode)
         rng_order = np.random.default_rng(opt.seed * 7919 + 1)
-        gl_step = make_gl_train_step_from_data(
-            model, tx, num_classes, spec.image_shape, tau=opt.temp,
-            epsilon=opt.epsilon, k=opt.knn_k, solver=opt.gl_solver,
-            score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug,
-            grad_warn=grad_warn)
-        mlp_step = make_mlp_train_step_from_data(
-            model, tx, spec.image_shape, norm=step_norm, aug=dev_aug)
+        if mesh is not None:
+            from .trainer import (make_sharded_gl_train_step_from_data,
+                                  make_sharded_mlp_train_step_from_data)
+            gl_step = make_sharded_gl_train_step_from_data(
+                model, tx, num_classes, spec.image_shape, mesh, tau=opt.temp,
+                epsilon=opt.epsilon, k=opt.knn_k, solver=opt.gl_solver,
+                score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug,
+                grad_warn=grad_warn)
+            mlp_step = make_sharded_mlp_train_step_from_data(
+                model, tx, spec.image_shape, mesh, norm=step_norm,
+                aug=dev_aug)
+        else:
+            gl_step = make_gl_train_step_from_data(
+                model, tx, num_classes, spec.image_shape, tau=opt.temp,
+                epsilon=opt.epsilon, k=opt.knn_k, solver=opt.gl_solver,
+                score_type=opt.gl_score_type, norm=step_norm, aug=dev_aug,
+                grad_warn=grad_warn)
+            mlp_step = make_mlp_train_step_from_data(
+                model, tx, spec.image_shape, norm=step_norm, aug=dev_aug)
     elif mesh is not None:
         from .trainer import (make_sharded_gl_train_step,
                               make_sharded_mlp_train_step)
@@ -290,8 +303,8 @@ def run_training(opt) -> dict:
         base_imgs, base_labels, base_sel = ds.select_base(
             opt.num_train, "random", rng_np, return_indices=True)
     if device_data:
-        base_idx_dev = jnp.asarray(base_sel)
-        base_labels_dev = jnp.asarray(base_labels)
+        base_idx_dev = conv_repl(np.asarray(base_sel))
+        base_labels_dev = conv_repl(np.asarray(base_labels))
     # multi-process: promote the (replicated) train state to global arrays
     # once — step outputs stay global from here on
     state = globalize_state(state)
@@ -402,8 +415,9 @@ def run_training(opt) -> dict:
                     if device_data:
                         state, metrics, scores = gl_step(
                             state, data_dev, base_idx_dev, base_labels_dev,
-                            jnp.asarray(indices), jnp.asarray(labels),
-                            step_key)
+                            conv_repl(np.asarray(indices)),
+                            conv_repl(np.asarray(labels)),
+                            conv_key(step_key))
                     else:
                         base_x, base_y = next(base_iter)
                         state, metrics, scores = gl_step(
@@ -415,8 +429,9 @@ def run_training(opt) -> dict:
                         pending_scores.append((indices, scores))
                 elif device_data:
                     state, metrics = mlp_step(state, data_dev,
-                                              jnp.asarray(indices),
-                                              jnp.asarray(labels), step_key)
+                                              conv_repl(np.asarray(indices)),
+                                              conv_repl(np.asarray(labels)),
+                                              conv_key(step_key))
                 else:
                     state, metrics = mlp_step(
                         state, conv_batch(images), conv_batch(labels),
@@ -452,8 +467,8 @@ def run_training(opt) -> dict:
                 opt.num_train, opt.gl_update_base_mode, rng_np,
                 return_indices=True)
             if device_data:
-                base_idx_dev = jnp.asarray(base_sel)
-                base_labels_dev = jnp.asarray(base_labels)
+                base_idx_dev = conv_repl(np.asarray(base_sel))
+                base_labels_dev = conv_repl(np.asarray(base_labels))
 
         if epoch % opt.plot_freq_ss == 0 or epoch == opt.epochs:
             records["test_acc"].append(evaluate())

@@ -26,7 +26,9 @@ __all__ = ["TrainState", "create_train_state", "make_gl_train_step",
            "make_mlp_train_step", "make_gl_eval_step", "make_mlp_eval_step",
            "make_encode_step", "make_sharded_gl_train_step",
            "make_sharded_mlp_train_step", "params_finite",
-           "make_gl_train_step_from_data", "make_mlp_train_step_from_data"]
+           "make_gl_train_step_from_data", "make_mlp_train_step_from_data",
+           "make_sharded_gl_train_step_from_data",
+           "make_sharded_mlp_train_step_from_data"]
 
 
 def params_finite(params) -> jax.Array:
@@ -321,6 +323,113 @@ def make_mlp_train_step_from_data(model, tx: optax.GradientTransformation,
                            "params_finite": params_finite(params)}
 
     return step
+
+
+def make_sharded_gl_train_step_from_data(
+        model, tx: optax.GradientTransformation, num_classes: int,
+        image_shape, mesh, tau: float, epsilon="auto", k: int = 25,
+        solver: str = "cholesky", score_type: str = "entropy", norm=None,
+        aug=None, grad_warn=-1.0) -> Callable:
+    """Device-resident dataset AND mesh sharding combined — the production
+    multi-device step (replaces the reference's DataParallel encoder,
+    utils.py:546-548, without its per-step host image transfers).
+
+    The uint8 dataset stays REPLICATED over the mesh (one bulk transfer per
+    device; ~150 MB at CIFAR-50k scale — far cheaper than a permuted
+    row-sharded layout whose random per-step gathers would all-to-all every
+    batch).  A sharding constraint right after the row gather makes each
+    device slice only its local index range, so the on-device augmentation
+    (data/device_aug.py — the B·P·P warp and LUT matmuls divide by the mesh
+    size), the CNN, and the graph head's node dimension all run
+    batch-sharded exactly like make_sharded_gl_train_step; GSPMD inserts
+    the gradient psums.
+
+    Per-step host->device traffic is index/label vectors only.  The
+    augmentation RNG stream is identical to the single-device
+    make_gl_train_step_from_data (same key split), so numerics match
+    bitwise up to reduction order.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w, c = image_shape
+    axes = tuple(mesh.axis_names)
+    repl = NamedSharding(mesh, P())
+    img_shd = NamedSharding(mesh, P(axes, None, None, None))
+    feat_shd = NamedSharding(mesh, P(axes, None))
+
+    def step(state: TrainState, data, base_idx, base_labels, idx, labels,
+             rng):
+        rows = jnp.concatenate([base_idx, idx])
+        images = jnp.take(data, rows, axis=0).reshape(-1, h, w, c)
+        images = jax.lax.with_sharding_constraint(images, img_shd)
+        if aug is not None and not aug.is_eval:
+            rng, aug_key = jax.random.split(rng)
+            images = aug(images, aug_key)
+        x = _device_normalize(images, norm)
+        y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
+
+        def loss_fn(params):
+            (_, features), new_stats = _apply(model, params,
+                                              state.batch_stats, x,
+                                              train=True, rng=rng)
+            features = jax.lax.with_sharding_constraint(features, feat_shd)
+            pred = laplace_learning(features, y, tau=tau, epsilon=epsilon,
+                                    k=k, solver=solver, grad_warn=grad_warn)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        scores = jax.lax.with_sharding_constraint(
+            _scores(pred, labels, score_type), repl)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}, scores
+
+    # the dataset and the index/label vectors arrive replicated (tiny, or
+    # transferred once); all sharding happens via the internal constraints,
+    # so non-divisible row counts degrade to XLA padding instead of erroring
+    return jax.jit(step, in_shardings=(None, repl, repl, repl, repl, repl,
+                                       None))
+
+
+def make_sharded_mlp_train_step_from_data(
+        model, tx: optax.GradientTransformation, image_shape, mesh,
+        norm=None, aug=None) -> Callable:
+    """MLP-branch step over a device-resident dataset with the batch sharded
+    over the mesh (see make_sharded_gl_train_step_from_data)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w, c = image_shape
+    axes = tuple(mesh.axis_names)
+    repl = NamedSharding(mesh, P())
+    img_shd = NamedSharding(mesh, P(axes, None, None, None))
+
+    def step(state: TrainState, data, idx, labels, rng):
+        images = jnp.take(data, idx, axis=0).reshape(-1, h, w, c)
+        images = jax.lax.with_sharding_constraint(images, img_shd)
+        if aug is not None and not aug.is_eval:
+            rng, aug_key = jax.random.split(rng)
+            images = aug(images, aug_key)
+        images = _device_normalize(images, norm)
+
+        def loss_fn(params):
+            (pred, _), new_stats = _apply(model, params, state.batch_stats,
+                                          images, train=True, rng=rng)
+            return custom_ce_loss(pred, labels), (pred, new_stats)
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(pred, axis=1) == labels)
+        new_state = TrainState(params, new_stats, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "acc": acc,
+                           "params_finite": params_finite(params)}
+
+    return jax.jit(step, in_shardings=(None, repl, repl, repl, None))
 
 
 def make_mlp_train_step(model, tx: optax.GradientTransformation,

@@ -78,3 +78,26 @@ def test_fullysup_mesh_auto_engages_on_virtual_mesh(tiny_opt, capfd):
     fullysup.run_training(parse_option(tiny_opt + ["--epochs", "1"]))
     out = capfd.readouterr().out
     assert "mesh: 8 devices" in out
+
+
+def test_fullysup_mesh_device_data_matches_single_device(tiny_opt):
+    """--device_data + --mesh (the production configuration: device-resident
+    uint8 dataset, in-jit augmentation, batch sharded over the mesh) must
+    reproduce the single-device --device_data trajectory."""
+    # low lr + no grad-warn noise: the synthetic tiny run explodes at the
+    # default lr and chaos amplifies reduction-order roundoff across epochs
+    argv = tiny_opt + ["--device_data", "--augment_type_sup", "weak",
+                       "--learning_rate", "0.001", "--grad_warn", "0"]
+    rec_off = fullysup.run_training(parse_option(argv + ["--mesh", "off"]))
+    rec_on = fullysup.run_training(parse_option(argv + ["--mesh", "8"]))
+    np.testing.assert_allclose(rec_on["loss"], rec_off["loss"],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(rec_on["train_acc"], rec_off["train_acc"],
+                               atol=1e-6)
+
+
+def test_fullysup_mesh_device_data_mlp_branch_runs(tiny_opt):
+    argv = [a if a != "gl" else "mlp" for a in tiny_opt]
+    rec = fullysup.run_training(parse_option(
+        argv + ["--device_data", "--mesh", "8", "--epochs", "1"]))
+    assert len(rec["loss"]) == 1 and np.isfinite(rec["loss"][0])
