@@ -42,17 +42,23 @@ def run_supcon(opt, simclr: bool = False) -> dict:
                     "miniimagenet", "synthetic") else "synthetic",
                    opt.augment_type_ss if opt.augment_type_ss != "no"
                    else "weak")
-    loader = TwoCropBatchLoader(spec.train_images, spec.train_labels,
-                                opt.batch_size, tf, seed=opt.seed,
-                                workers=opt.num_workers, n_views=2,
-                                emit="uint8", to_device=True)
+    # --device_data: the uint8 training set lives on device; each step
+    # ships one index vector and draws BOTH views by running the on-device
+    # transform (data/device_aug.py) twice with independent subkeys —
+    # same two-view semantics as TwoCropBatchLoader, device-side
+    device_data = bool(getattr(opt, "device_data", False))
+    steps_per_epoch = len(spec.train_labels) // opt.batch_size
+    loader = None if device_data else TwoCropBatchLoader(
+        spec.train_images, spec.train_labels, opt.batch_size, tf,
+        seed=opt.seed, workers=opt.num_workers, n_views=2, emit="uint8",
+        to_device=True)
     model = BuildNet(name=opt.model, head=opt.head_type,
                      feat_dim=opt.embedding_dim,
                      num_classes=spec.num_classes,
                      dtype=jnp.bfloat16 if getattr(opt, "bf16", False)
                      else jnp.float32)
-    schedule = make_lr_schedule(opt.learning_rate, opt.epochs, len(loader),
-                                cosine=opt.cosine,
+    schedule = make_lr_schedule(opt.learning_rate, opt.epochs,
+                                steps_per_epoch, cosine=opt.cosine,
                                 lr_decay_rate=opt.lr_decay_rate,
                                 lr_decay_epochs=opt.lr_decay_epochs,
                                 warm=opt.warm)
@@ -63,15 +69,10 @@ def run_supcon(opt, simclr: bool = False) -> dict:
 
     norm = (tf.mean, tf.std)
 
-    @jax.jit
-    def step(state: TrainState, views, labels, rng):
-        bsz, n_views = views.shape[:2]
-        flat = _device_normalize(
-            views.reshape(bsz * n_views, *views.shape[2:]), norm)
-
+    def _supcon_update(state, flat_views, labels, rng, bsz, n_views):
         def loss_fn(params):
             (_, feats), new_stats = _apply(model, params, state.batch_stats,
-                                           flat, train=True, rng=rng)
+                                           flat_views, train=True, rng=rng)
             feats = feats.reshape(bsz, n_views, -1)
             loss = sup_con_loss(feats, None if simclr else labels,
                                 temperature=opt.temp)
@@ -84,15 +85,58 @@ def run_supcon(opt, simclr: bool = False) -> dict:
         return TrainState(params, new_stats, opt_state,
                           state.step + 1), loss
 
+    @jax.jit
+    def step(state: TrainState, views, labels, rng):
+        bsz, n_views = views.shape[:2]
+        flat = _device_normalize(
+            views.reshape(bsz * n_views, *views.shape[2:]), norm)
+        return _supcon_update(state, flat, labels, rng, bsz, n_views)
+
+    if device_data:
+        from ..data.device_aug import DeviceTransform
+
+        dev_aug = DeviceTransform(tf.dataset, tf.mode)
+        h, w, c = spec.image_shape
+        data_dev = jax.device_put(np.ascontiguousarray(
+            spec.train_images.reshape(len(spec.train_labels), -1)))
+        rng_order = np.random.default_rng(opt.seed * 7919 + 5)
+
+        @jax.jit
+        def dd_step(state: TrainState, data, idx, labels, rng):
+            images = jnp.take(data, idx, axis=0).reshape(-1, h, w, c)
+            rng, k1, k2 = jax.random.split(rng, 3)
+            # two independent augmented views of the same rows, stacked
+            # view-major so flat rows pair up exactly like the host
+            # TwoCropBatchLoader's (B, 2, ...) layout
+            flat_u8 = jnp.concatenate([dev_aug(images, k1),
+                                       dev_aug(images, k2)])
+            flat = _device_normalize(flat_u8, norm)
+            bsz = idx.shape[0]
+            flat = flat.reshape(2, bsz, h, w, c).transpose(1, 0, 2, 3, 4) \
+                       .reshape(2 * bsz, h, w, c)
+            return _supcon_update(state, flat, labels, rng, bsz, 2)
+
     records = {"loss": []}
     for epoch in range(1, opt.epochs + 1):
         t0 = time.time()
         losses = []
-        for i, (idx, views, labels) in enumerate(loader):
-            state, loss = step(state, jnp.asarray(views),
-                               jnp.asarray(labels),
-                               jax.random.PRNGKey(opt.seed + epoch * 10000
-                                                  + i))
+        if device_data:
+            order = rng_order.permutation(len(spec.train_labels))
+            stream = ((order[i * opt.batch_size:(i + 1) * opt.batch_size],
+                       None,
+                       spec.train_labels[order[i * opt.batch_size:
+                                               (i + 1) * opt.batch_size]])
+                      for i in range(steps_per_epoch))
+        else:
+            stream = loader
+        for i, (idx, views, labels) in enumerate(stream):
+            key = jax.random.PRNGKey(opt.seed + epoch * 10000 + i)
+            if device_data:
+                state, loss = dd_step(state, data_dev, jnp.asarray(idx),
+                                      jnp.asarray(labels), key)
+            else:
+                state, loss = step(state, jnp.asarray(views),
+                                   jnp.asarray(labels), key)
             # device future; a per-step float() would serialize on the
             # relay round trip
             losses.append(loss)
