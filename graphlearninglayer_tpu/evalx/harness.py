@@ -11,10 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import transductive_laplace
-from ..train.trainer import (TrainState, make_encode_step, make_gl_eval_step,
+from ..train.trainer import (TrainState, make_encode_step,
+                             make_encode_step_from_data, make_gl_eval_step,
                              make_mlp_eval_step)
 
-__all__ = ["encode_dataset", "test_network", "test_gl_transductive"]
+__all__ = ["encode_dataset", "encode_dataset_resident", "test_network",
+           "test_gl_transductive"]
 
 
 def encode_dataset(encode_step, state: TrainState, images: np.ndarray,
@@ -39,6 +41,60 @@ def encode_dataset(encode_step, state: TrainState, images: np.ndarray,
         futs.append((encode_step(state, jnp.asarray(chunk)),
                      len(images[i:i + batch_size])))
     return np.concatenate([np.asarray(f)[:real] for f, real in futs], axis=0)
+
+
+import functools
+
+
+def _norm_key(norm):
+    """Hashable form of a (mean, std) pair (tuples survive, arrays don't)."""
+    if norm is None:
+        return None
+    return (tuple(np.ravel(norm[0]).tolist()),
+            tuple(np.ravel(norm[1]).tolist()))
+
+
+@functools.lru_cache(maxsize=32)
+def _resident_encode_step(model, image_shape, batch, norm):
+    # cached per (model, shape, batch, norm): a fresh jit wrapper per eval
+    # would re-trace every epoch (flax Modules hash by structure)
+    return make_encode_step_from_data(model, image_shape, batch, norm=norm)
+
+
+# the per-eval step factories are cached for the same reason: the drivers
+# call test_network / test_gl_transductive every plot_freq epoch, and a
+# fresh jax.jit wrapper per call re-traces the full encoder (seconds of
+# host time at ResNet scale) even when the executable itself is cached
+_cached_encode_step = functools.lru_cache(maxsize=32)(
+    lambda model, norm: make_encode_step(model, norm=norm))
+_cached_gl_eval_step = functools.lru_cache(maxsize=32)(
+    lambda model, num_classes, tau, epsilon, k, solver, norm:
+    make_gl_eval_step(model, num_classes, tau, epsilon, k, solver,
+                      norm=norm))
+_cached_mlp_eval_step = functools.lru_cache(maxsize=32)(
+    lambda model, norm: make_mlp_eval_step(model, norm=norm))
+
+
+def encode_dataset_resident(model, state: TrainState, data_dev, n: int,
+                            image_shape, norm, batch_size: int = 1024):
+    """encode_dataset over a DEVICE-RESIDENT flat uint8 dataset (the
+    --device_data eval path): per chunk the host sends one row index; the
+    tail chunk re-slices the last ``batch`` rows (overlapping the previous
+    chunk) so every compiled shape is identical and every row is encoded
+    exactly once — no padded-duplicate rows, bitwise-equal features to the
+    streaming encode_dataset.  Returns a DEVICE (n, d) feature array."""
+    import jax.numpy as jnp
+
+    batch = min(batch_size, n)
+    step = _resident_encode_step(model, tuple(image_shape), batch,
+                                 _norm_key(norm))
+    futs = []
+    for i in range(0, n, batch):
+        start = min(i, n - batch)
+        futs.append((step(state, data_dev, jnp.asarray(start)),
+                     i - start, min(batch, n - i)))
+    return jnp.concatenate([f[off:off + cnt] for f, off, cnt in futs],
+                           axis=0)
 
 
 def test_network(model, state: TrainState, base_images, base_labels,
@@ -72,10 +128,10 @@ def test_network(model, state: TrainState, base_images, base_labels,
     if tail not in ("exact", "pad"):
         raise ValueError(f"unknown tail mode {tail!r}")
     if predictor == "GL":
-        gl_step = make_gl_eval_step(model, num_classes, tau, epsilon, k,
-                                    solver, norm=norm)
+        gl_step = _cached_gl_eval_step(model, num_classes, tau, epsilon, k,
+                                       solver, _norm_key(norm))
     elif predictor == "MLP":
-        mlp_step = make_mlp_eval_step(model, norm=norm)
+        mlp_step = _cached_mlp_eval_step(model, _norm_key(norm))
     else:
         raise ValueError(predictor)
     host_norm = normalize_fn if (normalize_fn is not None and norm is None) \
@@ -108,7 +164,8 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
                          knn_num: int = 50, epsilon="auto",
                          tau: float = 1e-8, batch_size: int = 1024,
                          norm=None, mesh=None,
-                         shard_min_n: int = 20000) -> float:
+                         shard_min_n: int = 20000,
+                         resident=None) -> float:
     """Full transductive eval (test_GL_NP, utils.py:637-660): features of
     base + (optional) unlabeled-train + test, one big k=50 graph, CG solve;
     accuracy on the test slice.  ``norm=(mean, std)``: raw uint8 transfer
@@ -119,19 +176,38 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
     (parallel/edge_shard.py: in-mesh KNN build + halo-exchange CG) — the
     production scale path replacing the reference's single-CPU 60k-node
     scipy solve (utils.py:637-651).  Smaller graphs stay on the single
-    -device solver (the sharding overhead is not worth it)."""
-    encode_step = make_encode_step(model, norm=norm)
-    host_norm = normalize_fn if norm is None else None
-    base_f = encode_dataset(encode_step, state, base_images, host_norm,
-                            batch_size)
-    test_f = encode_dataset(encode_step, state, test_images, host_norm,
-                            batch_size)
-    parts = [base_f]
-    if train_images is not None:
-        parts.append(encode_dataset(encode_step, state, train_images,
-                                    host_norm, batch_size))
-    parts.append(test_f)
-    all_f = jnp.asarray(np.concatenate(parts, axis=0))
+    -device solver (the sharding overhead is not worth it).
+
+    ``resident=(train_data_dev, test_data_dev, base_idx, image_shape)``:
+    the --device_data eval path — train/test sets are device-resident flat
+    uint8 arrays, features are encoded with zero per-eval image transfers
+    (encode_dataset_resident), and the base features are a row gather of
+    the train features at ``base_idx`` (the base set IS rows of the train
+    split, data/pipeline.py select_base).  Requires ``norm`` and
+    ``train_images is not None``; graph semantics are identical."""
+    if resident is not None:
+        train_dev, test_dev, base_idx, image_shape = resident
+        train_f = encode_dataset_resident(model, state, train_dev,
+                                          len(train_images), image_shape,
+                                          norm, batch_size)
+        test_f_d = encode_dataset_resident(model, state, test_dev,
+                                           len(test_images), image_shape,
+                                           norm, batch_size)
+        base_f_d = jnp.take(train_f, jnp.asarray(base_idx), axis=0)
+        all_f = jnp.concatenate([base_f_d, train_f, test_f_d], axis=0)
+    else:
+        encode_step = _cached_encode_step(model, _norm_key(norm))
+        host_norm = normalize_fn if norm is None else None
+        base_f = encode_dataset(encode_step, state, base_images, host_norm,
+                                batch_size)
+        test_f = encode_dataset(encode_step, state, test_images, host_norm,
+                                batch_size)
+        parts = [base_f]
+        if train_images is not None:
+            parts.append(encode_dataset(encode_step, state, train_images,
+                                        host_norm, batch_size))
+        parts.append(test_f)
+        all_f = jnp.asarray(np.concatenate(parts, axis=0))
     y = jnp.asarray(np.eye(num_classes, dtype=np.float32)[base_labels])
     # tiny datasets: k cannot exceed the node count (self included) — the
     # reference's knnsearch has the same hard bound

@@ -234,7 +234,12 @@ def run_training(opt) -> dict:
                 return jax.tree_util.tree_map(
                     lambda a: _glob(a, _repl_shd), st)
         else:
-            conv_batch = conv_repl = jnp.asarray
+            # commit replicated inputs WITH the mesh sharding: an
+            # uncommitted single-device array would be re-broadcast by the
+            # jitted step's in_shardings on every call (fatal for the
+            # ~150 MB resident dataset)
+            conv_batch = jnp.asarray
+            conv_repl = lambda a: jax.device_put(np.asarray(a), _repl_shd)
             conv_key = globalize_state = lambda a: a
     else:
         conv_batch = conv_repl = jnp.asarray
@@ -247,6 +252,12 @@ def run_training(opt) -> dict:
         # device); conv_repl builds the global array in multi-process runs
         data_dev = (conv_repl(data_flat) if mesh is not None
                     else jax.device_put(data_flat))
+        # the test split is also kept resident so the eval encode ships no
+        # images either (evalx/harness.py encode_dataset_resident)
+        test_flat = np.ascontiguousarray(
+            spec.test_images.reshape(len(spec.test_labels), -1))
+        test_dev = (conv_repl(test_flat) if mesh is not None
+                    else jax.device_put(test_flat))
         dev_aug = DeviceTransform(sup_tf.dataset, sup_tf.mode)
         rng_order = np.random.default_rng(opt.seed * 7919 + 1)
         if mesh is not None:
@@ -332,13 +343,19 @@ def run_training(opt) -> dict:
         # through the ~55 MB/s relay link every eval)
         eval_norm = (eval_tf.mean, eval_tf.std)
         st = _host_state()
+        # --device_data (single-process): the eval encode runs over the
+        # RESIDENT train/test sets (base features = a row gather of the
+        # train features at base_sel) — zero per-eval image transfers
+        resident = ((data_dev, test_dev, base_sel, spec.image_shape)
+                    if device_data and not multiproc else None)
         tacc = test_gl_transductive(
             model, st, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
             tau=opt.tau, norm=eval_norm,
             mesh=None if multiproc else eval_mesh,
-            shard_min_n=getattr(opt, "shard_eval_min_n", 20000))
+            shard_min_n=getattr(opt, "shard_eval_min_n", 20000),
+            resident=resident)
         if opt.sup_train_type == "mlp":
             return test_network(
                 model, st, base_imgs, base_labels, spec.test_images,

@@ -505,3 +505,23 @@ def make_encode_step(model, norm=None) -> Callable:
         return features
 
     return step
+
+
+def make_encode_step_from_data(model, image_shape, batch: int,
+                               norm=None) -> Callable:
+    """Feature extraction over a DEVICE-RESIDENT flat uint8 dataset: each
+    call slices ``batch`` contiguous rows starting at a (traced) row index
+    and encodes them — zero per-eval host->device image traffic (the
+    --device_data eval path; the wire path ships the full train+test sets
+    through the relay every eval)."""
+    h, w, c = image_shape
+
+    @jax.jit
+    def step(state: TrainState, data, start):
+        rows = jax.lax.dynamic_slice_in_dim(data, start, batch, axis=0)
+        x = _device_normalize(rows.reshape(batch, h, w, c), norm)
+        (_, features), _ = _apply(model, state.params, state.batch_stats,
+                                  x, train=False)
+        return features
+
+    return step
