@@ -44,13 +44,13 @@ def _num_iters(attack: str, epsilon: float) -> int:
 def make_gl_fast_gradient_attack(encode: Callable, num_classes: int,
                                  tau: float = 0.0, epsilon_graph="auto",
                                  k: int = 25, solver: str = "cholesky",
-                                 grad_warn=-1.0):
+                                 grad_warn="default"):
     """Attack builder for GL-head models.
 
     ``encode(images) -> features`` is the frozen eval-mode network.  Returns
     ``attack_fn(base_images, base_labels, images, labels, eps, kind, min_val,
     max_val)`` producing (adv_images, final_pred).  ``grad_warn``: exploding
-    -gradient warn threshold of the op backward (-1.0 = module default,
+    -gradient warn threshold of the op backward ('default' = module default,
     None disables — dryruns pass None to keep their tail channel clean).
     """
 

@@ -68,6 +68,8 @@ Implementation notes (TPU-first; measured in benchmarks/probe_device_aug*.py):
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,32 @@ _MATMUL_MAX_PIXELS = 2048
 # gate.  4 GiB keeps the probed flagship shape (B=1500, P=1024: ~3.1 GiB
 # warp / ~2.4 GiB LUT) on the exact-matmul fast path.
 _MATMUL_MAX_BYTES = 4 << 30
+
+# Trace-time batch divisor for the byte gates below: a GSPMD-sharded step
+# traces at the GLOBAL batch shape while each device materializes only its
+# 1/n_devices shard of the one-hot operands — without the divisor, gating
+# on the global B disables the exact-matmul fast path precisely where the
+# mesh was supposed to make it scale.  Set via shard_divisor() by the
+# sharded train-step factories (train/trainer.py) around the aug call.
+_SHARD_DIVISOR = 1
+
+
+@contextlib.contextmanager
+def shard_divisor(n: int):
+    """Divide the one-hot-matmul memory gates' batch term by ``n`` for
+    code traced inside this context (per-device operand = global/n)."""
+    global _SHARD_DIVISOR
+    old = _SHARD_DIVISOR
+    _SHARD_DIVISOR = max(int(n), 1)
+    try:
+        yield
+    finally:
+        _SHARD_DIVISOR = old
+
+
+def _gate_rows(b: int) -> int:
+    """Per-device batch rows the byte gates should charge for."""
+    return max(b // _SHARD_DIVISOR, 1)
 
 
 def _ftype():
@@ -149,7 +177,8 @@ def _warp(x, src, valid):
     large device-resident batches — both exact either way).
     """
     b, c, p = x.shape
-    if p <= _MATMUL_MAX_PIXELS and 2 * b * p * p <= _MATMUL_MAX_BYTES:
+    if (p <= _MATMUL_MAX_PIXELS
+            and 2 * _gate_rows(b) * p * p <= _MATMUL_MAX_BYTES):
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
         oh = ((src[:, :, None] == iota) & valid[:, :, None])
         out = jnp.einsum("bpq,bcq->bcp", oh.astype(jnp.bfloat16),
@@ -266,7 +295,8 @@ def _apply_lut_planar(x, lut):
     batch size would be ~16 GiB) fall back to take_along_axis on the
     256-entry table — exact, no bf16 involved (same P gate as _warp)."""
     b, c, p = x.shape
-    if p <= _MATMUL_MAX_PIXELS and 512 * b * c * p <= _MATMUL_MAX_BYTES:
+    if (p <= _MATMUL_MAX_PIXELS
+            and 512 * _gate_rows(b) * c * p <= _MATMUL_MAX_BYTES):
         onehot = (x[..., None] == jnp.arange(256, dtype=jnp.int32))
         out = jnp.einsum("bcpl,bcl->bcp", onehot.astype(jnp.bfloat16),
                          lut.astype(jnp.bfloat16),

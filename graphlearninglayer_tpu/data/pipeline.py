@@ -141,6 +141,15 @@ class BatchLoader:
         # cost (~80 ms for a 4.6 MB uint8 batch), so issuing it one step
         # ahead hides host augmentation and keeps only the wire serialized.
         self.to_device = to_device
+        # optional placement targets (jax.sharding.Sharding or Device) for
+        # the producer-thread puts: `device` for training batches,
+        # `base_device` for base_batches().  On a mesh the driver sets
+        # these to the step's in_shardings (batch-sharded / replicated) so
+        # batches land pre-sharded — otherwise every step would reshard,
+        # or worse round-trip the array through the host (the conv_repl
+        # path costs a blocking device->host fetch per step).
+        self.device = None
+        self.base_device = None
 
     def __len__(self):
         return len(self.labels) // self.batch_size
@@ -173,11 +182,14 @@ class BatchLoader:
         out = np.stack(out)
         return out if raw else self.transform.normalize(out)
 
-    def _put_device(self, arr):
+    _BATCH_DEV = object()  # "use self.device" marker for _put_device
+
+    def _put_device(self, arr, dev=_BATCH_DEV):
         if not self.to_device:
             return arr
         import jax
-        return jax.device_put(arr)
+        return jax.device_put(arr, self.device if dev is BatchLoader._BATCH_DEV
+                              else dev)
 
     def _epoch_iter(self):
         order = (self.rng.permutation(len(self.labels)) if self.shuffle
@@ -217,7 +229,8 @@ class BatchLoader:
         def gen():
             for _ in range(count):
                 out, lab = self.full_batch(images, labels)
-                yield self._put_device(out), self._put_device(lab)
+                yield (self._put_device(out, self.base_device),
+                       self._put_device(lab, self.base_device))
 
         if self.prefetch <= 0:
             return gen()

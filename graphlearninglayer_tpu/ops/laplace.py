@@ -67,7 +67,10 @@ __all__ = ["LaplaceConfig", "laplace_learning", "GRAD_NORM_WARN_THRESHOLD"]
 GRAD_NORM_WARN_THRESHOLD: float | None = 10.0
 
 # LaplaceConfig.grad_warn sentinel: "defer to the module-level threshold".
-_GRAD_WARN_DEFAULT = -1.0
+# A string (not a representable float like the old -1.0) so every
+# user-supplied numeric value keeps its documented meaning: > 0 warns at
+# that norm, <= 0 / None disables.
+_GRAD_WARN_DEFAULT = "default"
 
 
 _CALLBACKS_OK: bool | None = None
@@ -107,7 +110,7 @@ def _callbacks_supported() -> bool:
 
 
 def _warn_exploding_grad(gx, gbar, thresh=_GRAD_WARN_DEFAULT):
-    if thresh == _GRAD_WARN_DEFAULT:
+    if isinstance(thresh, str):
         thresh = GRAD_NORM_WARN_THRESHOLD
     if not thresh or thresh < 0 or not _callbacks_supported():
         return gx
@@ -147,10 +150,10 @@ class LaplaceConfig(NamedTuple):
     cg_max_iter: int = 100_000
     mode: str = "dense"
     use_pallas: str = "auto"  # 'auto' = Pallas kernels on TPU backends only
-    # exploding-gradient warn threshold for THIS op instance; the default
-    # sentinel defers to the module-level GRAD_NORM_WARN_THRESHOLD, None
-    # disables (used by dryruns/tests on random data).
-    grad_warn: float | None = _GRAD_WARN_DEFAULT
+    # exploding-gradient warn threshold for THIS op instance; the 'default'
+    # sentinel defers to the module-level GRAD_NORM_WARN_THRESHOLD, None or
+    # any value <= 0 disables (used by dryruns/tests on random data).
+    grad_warn: float | str | None = _GRAD_WARN_DEFAULT
 
     @property
     def auto_eps(self) -> bool:
@@ -176,7 +179,8 @@ def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
     cfg = LaplaceConfig(float(tau), epsilon if isinstance(epsilon, str)
                         else float(epsilon), int(k), solver, float(cg_tol),
                         int(cg_max_iter), mode, use_pallas,
-                        None if grad_warn is None else float(grad_warn))
+                        grad_warn if grad_warn is None
+                        or isinstance(grad_warn, str) else float(grad_warn))
     return _laplace_op(cfg, x, y)
 
 

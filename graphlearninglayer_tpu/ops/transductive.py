@@ -136,7 +136,10 @@ def _solve_sorted(g, y, tau: float):
         # transpose keeps the minor dims (n, k) / (E,) wide and fully
         # packed; broadcast-multiply + reduce instead of einsum (XLA's
         # dot_general would transpose the gathered operand back).
-        pt = p.T                                               # (l, n)
+        # promote to the common dtype up front: with f64 features and f32
+        # labels the scatter-add below would otherwise cast its f64 update
+        # into a f32 buffer (a FutureWarning today, an error in future JAX)
+        pt = p.T.astype(jnp.result_type(p, coefw))             # (l, n)
         out_t = jnp.sum(coefw[None] * jnp.take(pt, g.nbr, axis=1), axis=2)
         contrib_t = c_s[None, :] * jnp.take(pt, src_s, axis=1)  # (l, E)
         in_t = jnp.zeros_like(pt).at[:, dst_s].add(

@@ -269,6 +269,11 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
     seg_start2 = np.concatenate([[0], np.cumsum(seg_cnt2)[:-1]])
     pos_in_seg = (np.arange(len(kuniq), dtype=np.int64)
                   - seg_start2[kq * nd + kp])
+    if not len(pos_in_seg):
+        # zero cross-shard references (nd=1, or perfectly shard-aligned
+        # clusters): remap_flat's branchless pos_in_seg[kpos] gather needs
+        # at least one (discarded) row to index
+        pos_in_seg = np.zeros(1, np.int64)
     hmax = int(seg_cnt2.max()) if len(kuniq) else 1
     # at scale: ~20% headroom then a coarse bucket, so run-to-run jitter
     # in the halo size does not flip the static shape (a recompile costs

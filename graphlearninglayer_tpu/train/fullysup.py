@@ -239,8 +239,21 @@ def run_training(opt) -> dict:
             # jitted step's in_shardings on every call (fatal for the
             # ~150 MB resident dataset)
             conv_batch = jnp.asarray
-            conv_repl = lambda a: jax.device_put(np.asarray(a), _repl_shd)
+
+            def conv_repl(a):
+                # device arrays reshard on-device; np.asarray on them would
+                # block on a device->host fetch on the step critical path
+                if isinstance(a, jax.Array):
+                    return jax.device_put(a, _repl_shd)
+                return jax.device_put(np.asarray(a), _repl_shd)
+
             conv_key = globalize_state = lambda a: a
+            # producer-thread puts land pre-sharded (batch-sharded train
+            # batches, replicated base batches): the step's in_shardings
+            # then match and neither a reshard copy nor a host round trip
+            # sits on the critical path
+            loader.device = _batch_shd
+            loader.base_device = _repl_shd
     else:
         conv_batch = conv_repl = jnp.asarray
         conv_key = globalize_state = lambda a: a
@@ -491,21 +504,32 @@ def run_training(opt) -> dict:
             records["test_acc"].append(evaluate())
             save_checkpoint(os.path.join(opt.save_folder, "ckpt"), state,
                             epoch)
-            _records_and_plots(opt.save_folder, records)
+            # records/plots: primary-only in multi-process runs (every
+            # process computes identical records, but concurrent np.save/
+            # savefig to the shared save_folder would interleave/corrupt);
+            # save_checkpoint stays all-process (orbax coordinates itself)
+            if primary:
+                _records_and_plots(opt.save_folder, records)
 
     save_checkpoint(os.path.join(opt.save_folder, "last"), state, opt.epochs)
-    _records_and_plots(opt.save_folder, records)
+    if primary:
+        _records_and_plots(opt.save_folder, records)
 
     # final feature-embedding visualization (reference FullySup.py:302 ->
     # visualize.py:55); base points starred
+    if not primary:
+        return records
     try:
         from ..evalx import encode_dataset, visualize
         from ..train.trainer import make_encode_step
 
         encode_step = make_encode_step(model, norm=(eval_tf.mean,
                                                     eval_tf.std))
-        test_f = encode_dataset(encode_step, state, spec.test_images)
-        base_f = encode_dataset(encode_step, state, base_imgs)
+        # encode runs as a LOCAL program: pull the replicated global state
+        # to host arrays first in multi-process runs (_host_state)
+        st_v = _host_state()
+        test_f = encode_dataset(encode_step, st_v, spec.test_images)
+        base_f = encode_dataset(encode_step, st_v, base_imgs)
         feats = np.concatenate([base_f, test_f])
         labels_v = np.concatenate([base_labels, spec.test_labels])
         base_mask = np.zeros(len(feats), bool)

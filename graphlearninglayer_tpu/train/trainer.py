@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..data.device_aug import shard_divisor as device_aug_shard_divisor
 from ..ops import laplace_learning
 from .losses import custom_ce_loss
 
@@ -107,14 +108,14 @@ def make_gl_train_step(model, tx: optax.GradientTransformation,
                        num_classes: int, tau: float, epsilon="auto",
                        k: int = 25, solver: str = "cholesky",
                        score_type: str = "entropy", norm=None,
-                       grad_warn=-1.0) -> Callable:
+                       grad_warn="default") -> Callable:
     """GL-branch step (FullySup.py:152-157): stack base on top of the batch,
     encode, run the graph head with base labels, CE on batch labels.
 
     ``norm=(mean, std)``: accept uint8 batches and normalize on device
     (see _device_normalize).  ``grad_warn``: exploding-gradient warn
-    threshold for the graph op's backward (-1.0 = module default; None
-    disables — dryruns/tests on random data)."""
+    threshold for the graph op's backward ('default' = module default;
+    None or <= 0 disables — dryruns/tests on random data)."""
 
     @jax.jit
     def step(state: TrainState, base_images, base_labels, images, labels, rng):
@@ -148,7 +149,7 @@ def make_sharded_gl_train_step(model, tx: optax.GradientTransformation,
                                epsilon="auto", k: int = 25,
                                solver: str = "cholesky",
                                score_type: str = "entropy",
-                               norm=None, grad_warn=-1.0) -> Callable:
+                               norm=None, grad_warn="default") -> Callable:
     """Mesh-sharded GL train step: the CNN is data-parallel over every mesh
     axis (batch rows sharded), and the graph head's node dimension carries a
     sharding constraint over the same axes, so GSPMD tiles the all-pairs
@@ -239,7 +240,7 @@ def make_gl_train_step_from_data(model, tx: optax.GradientTransformation,
                                  epsilon="auto", k: int = 25,
                                  solver: str = "cholesky",
                                  score_type: str = "entropy", norm=None,
-                                 aug=None, grad_warn=-1.0) -> Callable:
+                                 aug=None, grad_warn="default") -> Callable:
     """GL step over a DEVICE-RESIDENT dataset: per step the host sends only
     index/label vectors; base+batch rows are gathered on device and
     augmented inside the jitted step (data/device_aug.py).
@@ -329,7 +330,7 @@ def make_sharded_gl_train_step_from_data(
         model, tx: optax.GradientTransformation, num_classes: int,
         image_shape, mesh, tau: float, epsilon="auto", k: int = 25,
         solver: str = "cholesky", score_type: str = "entropy", norm=None,
-        aug=None, grad_warn=-1.0) -> Callable:
+        aug=None, grad_warn="default") -> Callable:
     """Device-resident dataset AND mesh sharding combined — the production
     multi-device step (replaces the reference's DataParallel encoder,
     utils.py:546-548, without its per-step host image transfers).
@@ -364,7 +365,10 @@ def make_sharded_gl_train_step_from_data(
         images = jax.lax.with_sharding_constraint(images, img_shd)
         if aug is not None and not aug.is_eval:
             rng, aug_key = jax.random.split(rng)
-            images = aug(images, aug_key)
+            # trace-time hint: the aug's one-hot matmul memory gates charge
+            # the per-device shard, not the global batch the trace sees
+            with device_aug_shard_divisor(mesh.size):
+                images = aug(images, aug_key)
         x = _device_normalize(images, norm)
         y = jax.nn.one_hot(base_labels, num_classes, dtype=x.dtype)
 
@@ -412,7 +416,8 @@ def make_sharded_mlp_train_step_from_data(
         images = jax.lax.with_sharding_constraint(images, img_shd)
         if aug is not None and not aug.is_eval:
             rng, aug_key = jax.random.split(rng)
-            images = aug(images, aug_key)
+            with device_aug_shard_divisor(mesh.size):
+                images = aug(images, aug_key)
         images = _device_normalize(images, norm)
 
         def loss_fn(params):

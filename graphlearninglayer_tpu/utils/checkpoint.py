@@ -64,6 +64,13 @@ def save_checkpoint(path: str, state, epoch: int, extra: dict | None = None):
             shutil.rmtree(aside)
         os.rename(step_dir, aside)
         moved = True
+    if multiproc:
+        # every process must observe the post-rename filesystem before the
+        # `epoch in mgr.all_steps()` check below: a process listing steps
+        # BEFORE the primary's rename would call the collective mgr.delete
+        # while the others skip it — mismatched collectives deadlock orbax
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"ckpt_rename_{path}_{epoch}")
     try:
         with _ckpt(path) as mgr:
             if epoch in mgr.all_steps():   # non-default step-dir layout

@@ -17,6 +17,15 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(items):
+    # jax deprecation FutureWarnings (e.g. unsafe scatter dtype casts)
+    # become hard errors in future releases — fail the suite at the
+    # warning stage instead of discovering the break on a toolchain bump
+    for item in items:
+        item.add_marker(
+            pytest.mark.filterwarnings("error::FutureWarning:jax"))
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

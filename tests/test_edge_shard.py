@@ -85,3 +85,24 @@ def test_edge_sharded_padding_and_fixed_eps(rng):
     assert got.shape == single.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(single),
                                atol=1e-7)
+
+
+def test_edge_shard_plan_zero_cross_shard_refs(rng):
+    # nd=1 (and, generally, perfectly shard-aligned clusters) produces ZERO
+    # cross-shard references: the vectorized remap's branchless
+    # pos_in_seg[kpos] gather must survive the empty halo table
+    # (regression: IndexError on an empty pos_in_seg).
+    from graphlearninglayer_tpu.parallel.edge_shard import (
+        build_edge_shard_plan)
+
+    n, d, k, k_lab, l = 64, 4, 5, 8, 3
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float64)
+    nbr, d2 = knn_tiled(x, k, 32)
+    y_full = np.zeros((n, l))
+    labeled_pos = np.arange(k_lab)
+    y_full[labeled_pos, rng.integers(0, l, k_lab)] = 1.0
+    plan = build_edge_shard_plan(np.asarray(nbr), np.asarray(d2), y_full,
+                                 labeled_pos, nd=1, tau=1e-8)
+    assert plan.slot_nbr.shape[0] == 1
+    # every slot reference is local: ids stay inside [0, n_loc)
+    assert plan.slot_nbr.max() < n
