@@ -378,6 +378,30 @@ def run_training(opt) -> dict:
                 solver=opt.gl_solver, predictor="MLP", norm=eval_norm)
         return tacc
 
+    def feature_viz(save_dir):
+        """Embed base+test features into ``save_dir`` (reference
+        FullySup.py:300-304 visualizes at EVERY plot interval into a
+        ckpt_epoch_<N>/ directory; base points starred).  Best-effort —
+        never fails the run."""
+        try:
+            from ..evalx import encode_dataset, visualize
+            from ..evalx.harness import _cached_encode_step, _norm_key
+
+            # cached factory: a fresh jit wrapper per interval would
+            # re-trace the encoder every visualization (harness.py)
+            encode_step = _cached_encode_step(
+                model, _norm_key((eval_tf.mean, eval_tf.std)))
+            st_v = _host_state()
+            test_f = encode_dataset(encode_step, st_v, spec.test_images)
+            base_f = encode_dataset(encode_step, st_v, base_imgs)
+            feats = np.concatenate([base_f, test_f])
+            labels_v = np.concatenate([base_labels, spec.test_labels])
+            base_mask = np.zeros(len(feats), bool)
+            base_mask[: len(base_f)] = True
+            visualize(feats, labels_v, save_dir, base_mask, tsne=opt.TSNE)
+        except Exception as e:  # visualization is best-effort observability
+            print(f"visualization skipped: {e}")
+
     # epoch-0 eval (FullySup.py:255)
     records["test_acc"].append(evaluate())
 
@@ -510,6 +534,12 @@ def run_training(opt) -> dict:
             # save_checkpoint stays all-process (orbax coordinates itself)
             if primary:
                 _records_and_plots(opt.save_folder, records)
+                # per-interval feature embedding (reference visualizes at
+                # every plot interval, FullySup.py:300-304); the final
+                # epoch's embedding lands in save_folder after the loop
+                if epoch % opt.plot_freq_ss == 0 and epoch != opt.epochs:
+                    feature_viz(os.path.join(opt.save_folder,
+                                             f"ckpt_epoch_{epoch}"))
 
     save_checkpoint(os.path.join(opt.save_folder, "last"), state, opt.epochs)
     if primary:
@@ -517,27 +547,8 @@ def run_training(opt) -> dict:
 
     # final feature-embedding visualization (reference FullySup.py:302 ->
     # visualize.py:55); base points starred
-    if not primary:
-        return records
-    try:
-        from ..evalx import encode_dataset, visualize
-        from ..train.trainer import make_encode_step
-
-        encode_step = make_encode_step(model, norm=(eval_tf.mean,
-                                                    eval_tf.std))
-        # encode runs as a LOCAL program: pull the replicated global state
-        # to host arrays first in multi-process runs (_host_state)
-        st_v = _host_state()
-        test_f = encode_dataset(encode_step, st_v, spec.test_images)
-        base_f = encode_dataset(encode_step, st_v, base_imgs)
-        feats = np.concatenate([base_f, test_f])
-        labels_v = np.concatenate([base_labels, spec.test_labels])
-        base_mask = np.zeros(len(feats), bool)
-        base_mask[: len(base_f)] = True
-        visualize(feats, labels_v, opt.save_folder, base_mask,
-                  tsne=opt.TSNE)
-    except Exception as e:  # visualization is best-effort observability
-        print(f"visualization skipped: {e}")
+    if primary:
+        feature_viz(opt.save_folder)
     return records
 
 

@@ -96,3 +96,18 @@ def test_run_training_without_stepsize_never_downsamples(tiny_opt,
     records = fullysup.run_training(opt)
     assert not called
     assert len(records["loss"]) == 2
+
+
+def test_per_interval_visualization_dirs(tiny_opt):
+    """Reference FullySup.py:300-304 visualizes at EVERY plot interval into
+    a ckpt_epoch_<N>/ directory; the final epoch's embedding lands in the
+    run folder itself."""
+    import os
+
+    opt = parse_option(tiny_opt + ["--epochs", "2", "--plot_freq_ss", "1"])
+    fullysup.run_training(opt)
+    # interval epochs (all but the last) get their own embedding dir
+    assert os.path.exists(os.path.join(opt.save_folder, "ckpt_epoch_1",
+                                       "features_umap.png"))
+    assert not os.path.exists(os.path.join(opt.save_folder, "ckpt_epoch_2"))
+    assert os.path.exists(os.path.join(opt.save_folder, "features_umap.png"))
