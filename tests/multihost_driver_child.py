@@ -8,6 +8,7 @@ import sys
 
 pid, nproc, coord, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else ""   # "" | "dd" (--device_data)
 
 import jax
 
@@ -39,12 +40,18 @@ bn.model_dict["tinycnn"] = (lambda dtype=jnp.float32: TinyEncoder(), 16)
 from graphlearninglayer_tpu.config.cli import parse_option
 from graphlearninglayer_tpu.train import fullysup
 
-opt = parse_option([
+argv = [
     "--sup_train_type", "gl", "--dataset", "synthetic", "--model", "tinycnn",
     "--epochs", "1", "--batch_size", "32", "--num_train", "10",
     "--knn_k", "6", "--synth_n_train", "64", "--synth_n_test", "32",
     "--num_workers", "0", "--plot_freq_ss", "100", "--epsilon", "auto",
-    "--mesh", "auto", "--grad_warn", "0"])
+    "--mesh", "auto", "--grad_warn", "0"]
+if mode == "dd":
+    # the device-resident production configuration across processes: the
+    # dataset becomes a GLOBAL replicated array, per-step traffic is
+    # index/label vectors, gather+augment+step run in one sharded jit
+    argv += ["--device_data", "--augment_type_sup", "weak"]
+opt = parse_option(argv)
 records = fullysup.run_training(opt)
 assert jax.process_count() == nproc, jax.process_count()
 assert all(np.isfinite(v) for v in records["loss"]), records

@@ -12,6 +12,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _CHILD = os.path.join(os.path.dirname(__file__), "multihost_child.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,12 +50,14 @@ def test_two_process_distributed_init_and_psum():
         assert f"MULTIHOST_OK pid={pid} psum=6.0" in out, out
 
 
-def test_two_process_fullysup_driver(tmp_path):
+@pytest.mark.parametrize("mode", ["", "dd"])
+def test_two_process_fullysup_driver(tmp_path, mode):
     """The PRODUCTION driver across two OS processes: fullysup --mesh auto
     trains one epoch on a 4-device mesh spanning both processes (global
     batch arrays over the coordination service, replicated state, primary
-    -only checkpointing).  Identical seeds -> both processes must report
-    the SAME loss and eval accuracy."""
+    -only checkpointing).  mode 'dd' adds --device_data (globally
+    replicated resident dataset, index-only per-step traffic).  Identical
+    seeds -> both processes must report the SAME loss and eval accuracy."""
     coord = f"localhost:{_free_port()}"
     child = os.path.join(os.path.dirname(__file__),
                          "multihost_driver_child.py")
@@ -66,7 +70,7 @@ def test_two_process_fullysup_driver(tmp_path):
         wd = tmp_path / f"proc{pid}"
         wd.mkdir()
         procs.append(subprocess.Popen(
-            [sys.executable, child, str(pid), "2", coord, str(wd)],
+            [sys.executable, child, str(pid), "2", coord, str(wd), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     outs = []
