@@ -62,6 +62,12 @@ x2 /= np.linalg.norm(x2, axis=1, keepdims=True)
 xj2 = jnp.asarray(x2)
 g2 = stage("build/warm", lambda: _build(xj2, k, "auto", 2048))
 if g2 is not None:
-    stage("sorted/warm", lambda: _solve_sorted(g2, yj, 1e-8))
+    out = stage("sorted/warm", lambda: _solve_sorted(g2, yj, 1e-8))
+    if out is not None:
+        # solve time scales with CG iterations (a conditioning property of
+        # the data/labeled fraction, not a kernel property) — report them
+        _, iters, err = out
+        print(f"             sorted CG iters={int(iters)} "
+              f"err={float(np.asarray(err)):.2e}", flush=True)
     stage("bsr/warm",
           lambda: _transductive_bsr(xj2, g2, yj, 1e-8, 256, 4 << 30))
