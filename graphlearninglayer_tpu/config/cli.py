@@ -94,6 +94,12 @@ def parse_option(argv=None):
     parser.add_argument("--head_type", type=str, default="mlp",
                         choices=["mlp", "linear", "no"])
     parser.add_argument("--TSNE", action="store_true")
+    parser.add_argument("--viz_max_n", type=int, default=10000,
+                        help="cap on train-split points embedded per "
+                             "interval visualization (the reference embeds "
+                             "the full split, visualize.py:96-104; the "
+                             "host-side t-SNE fallback is superlinear in n "
+                             "so the split is subsampled; <=0 = no cap)")
 
     # general parameters
     parser.add_argument("--temp", type=float, default=0.07,

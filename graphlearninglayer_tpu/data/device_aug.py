@@ -69,6 +69,7 @@ Implementation notes (TPU-first; measured in benchmarks/probe_device_aug*.py):
 from __future__ import annotations
 
 import contextlib
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -113,25 +114,29 @@ _MATMUL_MAX_BYTES = 4 << 30
 # on the global B disables the exact-matmul fast path precisely where the
 # mesh was supposed to make it scale.  Set via shard_divisor() by the
 # sharded train-step factories (train/trainer.py) around the aug call.
-_SHARD_DIVISOR = 1
+# Thread-LOCAL so a sharded step and an unsharded aug consumer tracing
+# concurrently on different threads (e.g. a background prefetch thread)
+# cannot observe each other's divisor — tracing happens on the calling
+# thread, so the context manager scopes exactly the trace it wraps.
+_SHARD_TLS = threading.local()
 
 
 @contextlib.contextmanager
 def shard_divisor(n: int):
     """Divide the one-hot-matmul memory gates' batch term by ``n`` for
-    code traced inside this context (per-device operand = global/n)."""
-    global _SHARD_DIVISOR
-    old = _SHARD_DIVISOR
-    _SHARD_DIVISOR = max(int(n), 1)
+    code traced inside this context ON THIS THREAD (per-device operand =
+    global/n)."""
+    old = getattr(_SHARD_TLS, "divisor", 1)
+    _SHARD_TLS.divisor = max(int(n), 1)
     try:
         yield
     finally:
-        _SHARD_DIVISOR = old
+        _SHARD_TLS.divisor = old
 
 
 def _gate_rows(b: int) -> int:
     """Per-device batch rows the byte gates should charge for."""
-    return max(b // _SHARD_DIVISOR, 1)
+    return max(b // getattr(_SHARD_TLS, "divisor", 1), 1)
 
 
 def _ftype():

@@ -176,6 +176,16 @@ def laplace_learning(x, y, tau=0.0, epsilon="auto", k=25, solver="cholesky",
             else "edge"
     if mode == "dense" and solver != "cholesky":
         raise ValueError("mode='dense' requires solver='cholesky'")
+    if (grad_warn is not None and not isinstance(grad_warn, str)
+            and float(grad_warn) < 0):
+        # pre-round-3 callers used -1.0 as the "module default" sentinel;
+        # any value <= 0 now DISABLES the warning — flag stale callers once
+        import warnings
+        warnings.warn(
+            "laplace_learning(grad_warn<0) now disables the exploding-"
+            "gradient warning (the old -1.0 'module default' sentinel is "
+            "gone; pass grad_warn='default' for that behavior)",
+            stacklevel=2)
     cfg = LaplaceConfig(float(tau), epsilon if isinstance(epsilon, str)
                         else float(epsilon), int(k), solver, float(cg_tol),
                         int(cg_max_iter), mode, use_pallas,

@@ -174,11 +174,9 @@ def run_training(opt) -> dict:
 
     # NOTE the tau convention: FullySup passes --temp as tau to the GL op
     # (reference FullySup.py:156) while the transductive eval uses --tau
-    # (utils.py:651).
-    # optional MLP-head pretraining (FullySup.py:224-249)
-    if opt.sup_epochs > 0:
-        state = pretrain_linear(model, state, loader, opt, num_classes,
-                                norm=step_norm)
+    # (utils.py:651).  The optional MLP-head pretraining (FullySup.py:224-249)
+    # runs below, after the eval harness is set up, so the reference's
+    # epoch -1 pre-pretrain evaluation (FullySup.py:229-243) can precede it.
 
     # --device_data: the uint8 training set crosses the wire ONCE (stored
     # row-flattened so TPU tiling doesn't lane-pad the channel axis) and
@@ -346,6 +344,12 @@ def run_training(opt) -> dict:
             lambda a: np.asarray(a.addressable_data(0))
             if isinstance(a, jax.Array) else a, state)
 
+    # cross-eval amortization: one cache across all of this run's
+    # transductive evals (permutation reuse + sticky compiled shapes + CG
+    # warm start; ops/transductive.py EvalGraphCache)
+    from ..ops import EvalGraphCache
+    eval_cache = EvalGraphCache()
+
     def evaluate():
         # eval cadence mirrors FullySup.py:253-261/287-296: the gl branch
         # reports the transductive accuracy; the mlp branch also runs the
@@ -368,7 +372,7 @@ def run_training(opt) -> dict:
             tau=opt.tau, norm=eval_norm,
             mesh=None if multiproc else eval_mesh,
             shard_min_n=getattr(opt, "shard_eval_min_n", 20000),
-            resident=resident)
+            resident=resident, cache=eval_cache)
         if opt.sup_train_type == "mlp":
             return test_network(
                 model, st, base_imgs, base_labels, spec.test_images,
@@ -379,10 +383,15 @@ def run_training(opt) -> dict:
         return tacc
 
     def feature_viz(save_dir):
-        """Embed base+test features into ``save_dir`` (reference
-        FullySup.py:300-304 visualizes at EVERY plot interval into a
-        ckpt_epoch_<N>/ directory; base points starred).  Best-effort —
-        never fails the run."""
+        """Embed the TRAIN-split features into ``save_dir`` with the
+        current base points appended and starred (reference FullySup.py
+        :300-304 visualizes at EVERY plot interval into a ckpt_epoch_<N>/
+        directory; visualize.py:96-139 loads the full train split and
+        appends the base features).  The split is subsampled to
+        ``--viz_max_n`` points because the host-side embedding fallback
+        (sklearn t-SNE when umap is absent) is superlinear in n — a
+        documented deviation (PARITY.md).  Best-effort — never fails the
+        run."""
         try:
             from ..evalx import encode_dataset, visualize
             from ..evalx.harness import _cached_encode_step, _norm_key
@@ -392,15 +401,34 @@ def run_training(opt) -> dict:
             encode_step = _cached_encode_step(
                 model, _norm_key((eval_tf.mean, eval_tf.std)))
             st_v = _host_state()
-            test_f = encode_dataset(encode_step, st_v, spec.test_images)
+            n_tr = len(spec.train_images)
+            cap = int(getattr(opt, "viz_max_n", 10000))
+            if n_tr > cap > 0:
+                rng_v = np.random.default_rng(opt.seed + 733)
+                sel = np.sort(rng_v.choice(n_tr, cap, replace=False))
+            else:
+                sel = np.arange(n_tr)
+            train_f = encode_dataset(encode_step, st_v,
+                                     spec.train_images[sel])
             base_f = encode_dataset(encode_step, st_v, base_imgs)
-            feats = np.concatenate([base_f, test_f])
-            labels_v = np.concatenate([base_labels, spec.test_labels])
+            feats = np.concatenate([train_f, base_f])
+            labels_v = np.concatenate([spec.train_labels[sel], base_labels])
             base_mask = np.zeros(len(feats), bool)
-            base_mask[: len(base_f)] = True
+            base_mask[len(train_f):] = True
             visualize(feats, labels_v, save_dir, base_mask, tsne=opt.TSNE)
         except Exception as e:  # visualization is best-effort observability
             print(f"visualization skipped: {e}")
+
+    # epoch -1 eval BEFORE the MLP-head pretrain (FullySup.py:229-243):
+    # only when pretraining actually runs, same as the reference
+    if opt.sup_epochs > 0:
+        records["test_acc"].append(evaluate())
+        # pretrain on host-local state (multi-process: every process trains
+        # an identical local copy — the pretrain loader batches are host
+        # arrays), then re-promote to global arrays
+        state = globalize_state(
+            pretrain_linear(model, _host_state(), loader, opt, num_classes,
+                            norm=step_norm))
 
     # epoch-0 eval (FullySup.py:255)
     records["test_acc"].append(evaluate())
@@ -545,10 +573,13 @@ def run_training(opt) -> dict:
     if primary:
         _records_and_plots(opt.save_folder, records)
 
-    # final feature-embedding visualization (reference FullySup.py:302 ->
-    # visualize.py:55); base points starred
+    # final feature-embedding visualization into ckpt_epoch_<epochs>/
+    # (reference FullySup.py:335-338 embeds the last model into that dir;
+    # the in-loop interval at epoch == epochs is skipped above because this
+    # call writes the identical artifact); base points starred
     if primary:
-        feature_viz(opt.save_folder)
+        feature_viz(os.path.join(opt.save_folder,
+                                 f"ckpt_epoch_{opt.epochs}"))
     return records
 
 

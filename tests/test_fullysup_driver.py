@@ -100,14 +100,54 @@ def test_run_training_without_stepsize_never_downsamples(tiny_opt,
 
 def test_per_interval_visualization_dirs(tiny_opt):
     """Reference FullySup.py:300-304 visualizes at EVERY plot interval into
-    a ckpt_epoch_<N>/ directory; the final epoch's embedding lands in the
-    run folder itself."""
+    a ckpt_epoch_<N>/ directory; the final epoch's embedding lands in
+    ckpt_epoch_<epochs>/ as well (FullySup.py:335-338)."""
     import os
 
     opt = parse_option(tiny_opt + ["--epochs", "2", "--plot_freq_ss", "1"])
     fullysup.run_training(opt)
-    # interval epochs (all but the last) get their own embedding dir
+    # every interval epoch, INCLUDING the final one, gets an embedding dir
     assert os.path.exists(os.path.join(opt.save_folder, "ckpt_epoch_1",
                                        "features_umap.png"))
-    assert not os.path.exists(os.path.join(opt.save_folder, "ckpt_epoch_2"))
-    assert os.path.exists(os.path.join(opt.save_folder, "features_umap.png"))
+    assert os.path.exists(os.path.join(opt.save_folder, "ckpt_epoch_2",
+                                       "features_umap.png"))
+
+
+def test_visualization_embeds_train_split_with_base_starred(tiny_opt,
+                                                            monkeypatch):
+    """The interval embedding covers the TRAIN split (subsampled to
+    --viz_max_n) with the base rows appended and starred (reference
+    visualize.py:96-139 loads the full train split; FullySup.py:300-304)."""
+    import graphlearninglayer_tpu.evalx as evalx_mod
+
+    seen = []
+
+    def recording(features, labels, save_dir, base_mask=None, tsne=False,
+                  **kw):
+        seen.append((len(features), int(base_mask.sum()),
+                     base_mask.argmax()))
+
+    monkeypatch.setattr(evalx_mod, "visualize", recording)
+    opt = parse_option(tiny_opt + ["--epochs", "1", "--plot_freq_ss", "1",
+                                   "--viz_max_n", "40"])
+    fullysup.run_training(opt)
+    assert seen  # at least the final embedding ran
+    for n_total, n_base, base_start in seen:
+        assert n_base == 10            # --num_train base rows, starred
+        assert n_total == 40 + 10      # subsampled train split + base
+        assert base_start == 40        # base rows appended AFTER the split
+
+
+def test_pre_pretrain_eval_when_sup_epochs(tiny_opt, monkeypatch):
+    """With --sup_epochs > 0 the driver evaluates BEFORE the MLP-head
+    pretrain as well (epoch -1, reference FullySup.py:229-243): the
+    test_acc record gains one extra leading entry."""
+    opt_plain = parse_option(tiny_opt + ["--epochs", "1"])
+    rec_plain = fullysup.run_training(opt_plain)
+    opt_pre = parse_option(tiny_opt + ["--epochs", "1",
+                                       "--sup_epochs", "1"])
+    rec_pre = fullysup.run_training(opt_pre)
+    # plain: epoch-0 eval + final-epoch eval; pretrain adds the epoch -1 one
+    assert len(rec_plain["test_acc"]) == 2
+    assert len(rec_pre["test_acc"]) == 3
+    assert all(np.isfinite(v) for v in rec_pre["test_acc"])
