@@ -76,22 +76,28 @@ _cached_mlp_eval_step = functools.lru_cache(maxsize=32)(
 
 
 def encode_dataset_resident(model, state: TrainState, data_dev, n: int,
-                            image_shape, norm, batch_size: int = 1024):
+                            image_shape, norm, batch_size: int = 1024,
+                            globalize=None):
     """encode_dataset over a DEVICE-RESIDENT flat uint8 dataset (the
     --device_data eval path): per chunk the host sends one row index; the
     tail chunk re-slices the last ``batch`` rows (overlapping the previous
     chunk) so every compiled shape is identical and every row is encoded
     exactly once — no padded-duplicate rows, bitwise-equal features to the
-    streaming encode_dataset.  Returns a DEVICE (n, d) feature array."""
+    streaming encode_dataset.  Returns a DEVICE (n, d) feature array.
+
+    ``globalize``: multi-process runs pass a host-array -> global-array
+    converter so the per-chunk start index can feed a computation whose
+    other operands (dataset, state) are global arrays."""
     import jax.numpy as jnp
 
+    conv = globalize if globalize is not None else jnp.asarray
     batch = min(batch_size, n)
     step = _resident_encode_step(model, tuple(image_shape), batch,
                                  _norm_key(norm))
     futs = []
     for i in range(0, n, batch):
         start = min(i, n - batch)
-        futs.append((step(state, data_dev, jnp.asarray(start)),
+        futs.append((step(state, data_dev, conv(np.asarray(start))),
                      i - start, min(batch, n - i)))
     return jnp.concatenate([f[off:off + cnt] for f, off, cnt in futs],
                            axis=0)
@@ -165,7 +171,7 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
                          tau: float = 1e-8, batch_size: int = 1024,
                          norm=None, mesh=None,
                          shard_min_n: int = 20000,
-                         resident=None) -> float:
+                         resident=None, cache=None, globalize=None) -> float:
     """Full transductive eval (test_GL_NP, utils.py:637-660): features of
     base + (optional) unlabeled-train + test, one big k=50 graph, CG solve;
     accuracy on the test slice.  ``norm=(mean, std)``: raw uint8 transfer
@@ -184,16 +190,24 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
     (encode_dataset_resident), and the base features are a row gather of
     the train features at ``base_idx`` (the base set IS rows of the train
     split, data/pipeline.py select_base).  Requires ``norm`` and
-    ``train_images is not None``; graph semantics are identical."""
+    ``train_images is not None``; graph semantics are identical.
+
+    ``cache``: an ops.EvalGraphCache shared across eval epochs amortizes
+    the per-eval graph rebuild (permutation reuse + sticky compiled shapes
+    + CG warm start) on the single-device solver path — results unchanged
+    (the solve still runs to tol)."""
+    conv = globalize if globalize is not None else jnp.asarray
     if resident is not None:
         train_dev, test_dev, base_idx, image_shape = resident
         train_f = encode_dataset_resident(model, state, train_dev,
                                           len(train_images), image_shape,
-                                          norm, batch_size)
+                                          norm, batch_size,
+                                          globalize=globalize)
         test_f_d = encode_dataset_resident(model, state, test_dev,
                                            len(test_images), image_shape,
-                                           norm, batch_size)
-        base_f_d = jnp.take(train_f, jnp.asarray(base_idx), axis=0)
+                                           norm, batch_size,
+                                           globalize=globalize)
+        base_f_d = jnp.take(train_f, conv(np.asarray(base_idx)), axis=0)
         all_f = jnp.concatenate([base_f_d, train_f, test_f_d], axis=0)
     else:
         encode_step = _cached_encode_step(model, _norm_key(norm))
@@ -208,7 +222,7 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
                                         host_norm, batch_size))
         parts.append(test_f)
         all_f = jnp.asarray(np.concatenate(parts, axis=0))
-    y = jnp.asarray(np.eye(num_classes, dtype=np.float32)[base_labels])
+    y = conv(np.eye(num_classes, dtype=np.float32)[base_labels])
     # tiny datasets: k cannot exceed the node count (self included) — the
     # reference's knnsearch has the same hard bound
     knn_num = min(knn_num, int(all_f.shape[0]))
@@ -217,13 +231,15 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
             and mesh.shape["graph"] > 1 and n_nodes >= shard_min_n):
         from ..parallel.edge_shard import edge_sharded_transductive_laplace
 
+        print(f"  [transductive eval: edge-sharded over "
+              f"{mesh.shape['graph']} devices]")
         u, cg_iters, cg_err = edge_sharded_transductive_laplace(
             mesh, all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
             return_info=True)
     else:
         u, cg_iters, cg_err = transductive_laplace(
             all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
-            return_info=True)
+            return_info=True, cache=cache)
     pred = np.asarray(jnp.argmax(u, axis=1))[-len(test_images):]
     acc = 100.0 * float(np.mean(pred == test_labels))
     print(f"Test set: Accuracy for GL predictor "

@@ -3,7 +3,8 @@ from .graph import (BatchGraph, build_graph, edge_weights, sym_rowsum,
                     sym_spmm, dense_weight_matrix)
 from .solve import cholesky_factor, cholesky_solve, stable_conjgrad
 from .laplace import LaplaceConfig, laplace_learning
-from .transductive import one_hot_encode, transductive_laplace
+from .transductive import (EvalGraphCache, one_hot_encode,
+                           transductive_laplace)
 
 __all__ = [
     "knn", "knn_tiled", "pairwise_dist2",
@@ -11,5 +12,5 @@ __all__ = [
     "dense_weight_matrix",
     "cholesky_factor", "cholesky_solve", "stable_conjgrad",
     "LaplaceConfig", "laplace_learning",
-    "one_hot_encode", "transductive_laplace",
+    "EvalGraphCache", "one_hot_encode", "transductive_laplace",
 ]

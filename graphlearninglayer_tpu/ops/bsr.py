@@ -45,8 +45,9 @@ import jax.numpy as jnp
 
 from .graph import BatchGraph
 
-__all__ = ["BsrPlan", "BsrMat", "kmeans_labels", "bsr_plan", "bsr_stats",
-           "build_bsr_mat", "bsr_spmm", "bsr_tile_bytes"]
+__all__ = ["BsrPlan", "BsrMat", "kmeans_labels", "bsr_plan",
+           "bsr_plan_from_perm", "bsr_stats", "build_bsr_mat", "bsr_spmm",
+           "bsr_tile_bytes"]
 
 
 def kmeans_labels(x: jax.Array, n_clusters: int, n_iter: int = 8) -> jax.Array:
@@ -138,17 +139,12 @@ def _both_orientations(gp: BatchGraph):
             jnp.concatenate([ok, ok]))
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def bsr_plan(x: jax.Array, g: BatchGraph, k_lab: int, n_clusters: int,
-             block: int) -> BsrPlan:
-    """Cluster-reorder the graph and discover its nonzero block structure."""
+def _finish_plan(g: BatchGraph, perm: jax.Array, block: int) -> BsrPlan:
+    """Tile discovery for a given node permutation (traceable body shared
+    by :func:`bsr_plan` and :func:`bsr_plan_from_perm`)."""
     n = g.nbr.shape[0]
     r_blk = -(-n // block)
     n_tiles = r_blk * r_blk
-    cluster = kmeans_labels(x, n_clusters)
-    unlabeled = (jnp.arange(n, dtype=jnp.int32) >= k_lab).astype(jnp.int32)
-    perm = jnp.argsort(cluster + n_clusters * unlabeled, stable=True)
-    perm = perm.astype(jnp.int32)
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
     gp = BatchGraph(nbr=inv[g.nbr[perm]], dist2=g.dist2[perm],
@@ -175,6 +171,29 @@ def bsr_plan(x: jax.Array, g: BatchGraph, k_lab: int, n_clusters: int,
         num_segments=r_blk)
     return BsrPlan(gp=gp, perm=perm, inv=inv, slot_of=slot_of,
                    tile_count=tile_count, max_blocks=jnp.max(per_row))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def bsr_plan(x: jax.Array, g: BatchGraph, k_lab: int, n_clusters: int,
+             block: int) -> BsrPlan:
+    """Cluster-reorder the graph and discover its nonzero block structure."""
+    n = g.nbr.shape[0]
+    cluster = kmeans_labels(x, n_clusters)
+    unlabeled = (jnp.arange(n, dtype=jnp.int32) >= k_lab).astype(jnp.int32)
+    perm = jnp.argsort(cluster + n_clusters * unlabeled, stable=True)
+    return _finish_plan(g, perm.astype(jnp.int32), block)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def bsr_plan_from_perm(g: BatchGraph, perm: jax.Array,
+                       block: int) -> BsrPlan:
+    """Tile discovery under a CACHED node permutation — skips the k-means
+    clustering pass entirely (cross-eval amortization: trained features
+    drift slowly between eval epochs, so last eval's cluster ordering still
+    concentrates edges near the diagonal; the caller falls back to a fresh
+    :func:`bsr_plan` when the overflow fraction says otherwise).  Exact for
+    ANY permutation — only the overflow fraction degrades with staleness."""
+    return _finish_plan(g, jnp.asarray(perm, jnp.int32), block)
 
 
 @partial(jax.jit, static_argnums=(1,))

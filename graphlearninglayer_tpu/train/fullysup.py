@@ -359,25 +359,30 @@ def run_training(opt) -> dict:
         # (the eval encode otherwise ships the full train+test sets as f32
         # through the ~55 MB/s relay link every eval)
         eval_norm = (eval_tf.mean, eval_tf.std)
-        st = _host_state()
-        # --device_data (single-process): the eval encode runs over the
-        # RESIDENT train/test sets (base features = a row gather of the
-        # train features at base_sel) — zero per-eval image transfers
+        # --device_data: the eval encode runs over the RESIDENT train/test
+        # sets (base features = a row gather of the train features at
+        # base_sel) — zero per-eval image transfers.  Multi-process runs
+        # keep BOTH production paths: the resident encode runs as a global
+        # program over the replicated dataset + global state (index scalars
+        # globalized via conv_repl), and large graphs route through the
+        # edge-sharded solver on the global mesh — no single-host fallback.
         resident = ((data_dev, test_dev, base_sel, spec.image_shape)
-                    if device_data and not multiproc else None)
+                    if device_data else None)
+        resident_global = device_data and multiproc
+        st = state if resident_global else _host_state()
         tacc = test_gl_transductive(
             model, st, base_imgs, base_labels, spec.test_images,
             spec.test_labels, eval_tf.normalize, num_classes,
             train_images=spec.train_images, knn_num=50, epsilon=opt.epsilon,
-            tau=opt.tau, norm=eval_norm,
-            mesh=None if multiproc else eval_mesh,
+            tau=opt.tau, norm=eval_norm, mesh=eval_mesh,
             shard_min_n=getattr(opt, "shard_eval_min_n", 20000),
-            resident=resident, cache=eval_cache)
+            resident=resident, cache=eval_cache,
+            globalize=conv_repl if resident_global else None)
         if opt.sup_train_type == "mlp":
             return test_network(
-                model, st, base_imgs, base_labels, spec.test_images,
-                spec.test_labels, num_classes, tau=opt.temp,
-                epsilon=opt.epsilon, k=opt.knn_k,
+                model, _host_state(), base_imgs, base_labels,
+                spec.test_images, spec.test_labels, num_classes,
+                tau=opt.temp, epsilon=opt.epsilon, k=opt.knn_k,
                 batch_size=min(opt.test_batch_size, len(spec.test_images)),
                 solver=opt.gl_solver, predictor="MLP", norm=eval_norm)
         return tacc

@@ -129,3 +129,106 @@ def test_kmeans_labels_recovers_separated_clusters():
     for c in range(4):
         assert len(set(got[lab == c])) == 1
     assert len(set(got)) == 4
+
+
+# ---------------------------------------------------------------------------
+# EvalGraphCache: cross-eval amortization must never change results
+
+
+def test_transductive_cache_matches_fresh_and_reuses_plan(monkeypatch):
+    """Second eval with a shared EvalGraphCache: (a) result identical to a
+    cache-free solve, (b) the k-means pass is skipped (bsr_plan_from_perm
+    used), (c) static budgets are sticky, (d) the CG warm start cuts the
+    iteration count on slowly-drifting features."""
+    import graphlearninglayer_tpu.ops.transductive as tr
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+
+    n, l, k_lab = 900, 5, 60
+    x1, lab = _clustered(n, l=l, seed=11)
+    rng = np.random.default_rng(12)
+    # small feature drift, cluster structure intact (eval-epoch analogue)
+    x2 = jnp.asarray(np.asarray(x1) + 0.02 * rng.normal(size=x1.shape))
+    y = one_hot_encode(jnp.asarray(lab[:k_lab]), l)
+
+    fresh_calls = []
+    orig_plan = tr.bsr_plan
+    monkeypatch.setattr(tr, "bsr_plan",
+                        lambda *a, **k: fresh_calls.append(1)
+                        or orig_plan(*a, **k))
+
+    cache = EvalGraphCache()
+    kw = dict(knn_num=12, mode="bsr", bsr_block=64, return_info=True)
+    p1, it1, _ = transductive_laplace(x1, y, cache=cache, **kw)
+    assert fresh_calls == [1]
+    smax1, ovf1 = cache.smax, cache.ovf_cap
+
+    p2c, it2c, _ = transductive_laplace(x2, y, cache=cache, **kw)
+    assert fresh_calls == [1]          # k-means pass skipped on eval 2
+    assert (cache.smax, cache.ovf_cap) == (smax1, ovf1)  # sticky shapes
+    p2f, it2f, _ = transductive_laplace(x2, y, **kw)     # cache-free oracle
+    np.testing.assert_allclose(np.asarray(p2c), np.asarray(p2f),
+                               rtol=1e-6, atol=1e-8)
+    assert it2c < it2f                 # warm start converges faster
+
+
+def test_transductive_cache_stale_perm_falls_back_to_fresh(monkeypatch):
+    """Features that moved completely (different clustering) must trigger a
+    fresh plan, and the result must still match the cache-free solve."""
+    import graphlearninglayer_tpu.ops.transductive as tr
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+
+    n, l, k_lab = 900, 5, 60
+    x1, lab1 = _clustered(n, l=l, seed=21)
+    x2, lab2 = _clustered(n, l=l, seed=99)   # unrelated clustering
+    y1 = one_hot_encode(jnp.asarray(lab1[:k_lab]), l)
+    y2 = one_hot_encode(jnp.asarray(lab2[:k_lab]), l)
+
+    fresh_calls = []
+    orig_plan = tr.bsr_plan
+    monkeypatch.setattr(tr, "bsr_plan",
+                        lambda *a, **k: fresh_calls.append(1)
+                        or orig_plan(*a, **k))
+
+    cache = EvalGraphCache()
+    kw = dict(knn_num=12, mode="bsr", bsr_block=64)
+    transductive_laplace(x1, y1, cache=cache, **kw)
+    got = transductive_laplace(x2, y2, cache=cache, **kw)
+    ref = transductive_laplace(x2, y2, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)
+    # either the stale perm still tiled acceptably (1 fresh call) or the
+    # staleness check forced a recompute (2); never zero on call 1
+    assert len(fresh_calls) in (1, 2)
+
+
+def test_transductive_cache_sorted_mode_warm_start():
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+
+    n, l, k_lab = 500, 4, 40
+    x, lab = _clustered(n, l=l, seed=31)
+    y = one_hot_encode(jnp.asarray(lab[:k_lab]), l)
+    cache = EvalGraphCache()
+    kw = dict(knn_num=10, mode="sorted", return_info=True)
+    p1, it1, _ = transductive_laplace(x, y, cache=cache, **kw)
+    # identical features: warm start should converge almost immediately
+    p2, it2, _ = transductive_laplace(x, y, cache=cache, **kw)
+    assert it2 <= max(it1 // 4, 2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_transductive_cache_shape_change_is_safe():
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+
+    l = 4
+    cache = EvalGraphCache()
+    for n, seed in ((500, 41), (620, 42)):     # n changes between calls
+        k_lab = 40
+        x, lab = _clustered(n, l=l, seed=seed)
+        y = one_hot_encode(jnp.asarray(lab[:k_lab]), l)
+        got = transductive_laplace(x, y, knn_num=10, mode="bsr",
+                                   bsr_block=64, cache=cache)
+        ref = transductive_laplace(x, y, knn_num=10, mode="bsr",
+                                   bsr_block=64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-8)
