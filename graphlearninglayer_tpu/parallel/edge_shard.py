@@ -54,20 +54,40 @@ def _bucket(v: int, m: int) -> int:
     return max(-(-int(v) // m) * m, m)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of OTHER processes (multi-host
+    production runs): inputs must then be GLOBAL arrays and outputs must be
+    all-gathered so every process can address its replica."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _globalize(mesh: Mesh, spec: P, a):
+    """Host array -> global array over ``mesh`` (every process holds the
+    identical full copy, so any addressable shard is a slice of it)."""
+    from jax.sharding import NamedSharding
+    a = np.asarray(a)
+    return jax.make_array_from_callback(
+        a.shape, NamedSharding(mesh, spec), lambda idx: a[idx])
+
+
 def sharded_knn(mesh: Mesh, x, k: int, axis: str = "graph",
-                block: int = 2048):
+                block: int = 2048, gather_out: bool = False):
     """Exact KNN with the row/query dimension sharded over ``axis``.
 
     Each device computes the |q|^2 + |x|^2 - 2 q x^T panel and top-k for its
     own row block (in ``block``-row tiles), against a replicated corpus.
     Returns (nbr, dist2), both (n, k), row-sharded.  n must be divisible by
-    the axis size.
+    the axis size.  ``gather_out`` returns them REPLICATED instead (one
+    all_gather at the end) — required when ``mesh`` spans processes and the
+    host plan needs the full lists on every process.
     """
     n, d = x.shape
     nd = mesh.shape[axis]
     if n % nd:
         raise ValueError(f"n={n} not divisible by axis size {nd}")
-    return _sharded_knn_impl(x, mesh=mesh, axis=axis, k=k, block=block)
+    return _sharded_knn_impl(x, mesh=mesh, axis=axis, k=k, block=block,
+                             gather_out=gather_out)
 
 
 # Module-level jitted impl: jit caching is keyed on the FUNCTION IDENTITY
@@ -75,15 +95,20 @@ def sharded_knn(mesh: Mesh, x, k: int, axis: str = "graph",
 # same (mesh, axis, k, block) and shapes — a per-call jitted closure would
 # retrace and recompile every invocation (CLAUDE.md; 30s-6min per compile
 # through the remote relay).
-@partial(jax.jit, static_argnames=("mesh", "axis", "k", "block"))
-def _sharded_knn_impl(x, *, mesh, axis, k, block):
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "block",
+                                   "gather_out"))
+def _sharded_knn_impl(x, *, mesh, axis, k, block, gather_out=False):
     n, d = x.shape
     nd = mesh.shape[axis]
     n_loc = n // nd
+    out_spec = P(None, None) if gather_out else P(axis, None)
 
+    # gather_out: the all_gather'd outputs ARE replicated, but the static
+    # varying-mesh-axes check cannot infer that — disable it for this case
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(None, None)),
-             out_specs=(P(axis, None), P(axis, None)))
+             out_specs=(out_spec, out_spec),
+             **({"check_vma": False} if gather_out else {}))
     def _knn(xq, xall):
         row0 = jax.lax.axis_index(axis) * n_loc
         xx_all = jnp.sum(xall * xall, axis=-1)
@@ -108,7 +133,12 @@ def _sharded_knn_impl(x, *, mesh, axis, k, block):
         idx, dist2 = jax.lax.map(
             one_block, (xq_p.reshape(nblocks, blk, d),
                         rows.reshape(nblocks, blk)))
-        return (idx.reshape(-1, k)[:n_loc], dist2.reshape(-1, k)[:n_loc])
+        idx = idx.reshape(-1, k)[:n_loc]
+        dist2 = dist2.reshape(-1, k)[:n_loc]
+        if gather_out:   # replicate: every process can then read the lists
+            idx = jax.lax.all_gather(idx, axis, axis=0, tiled=True)
+            dist2 = jax.lax.all_gather(dist2, axis, axis=0, tiled=True)
+        return idx, dist2
 
     return _knn(x, x)
 
@@ -374,33 +404,47 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
     """
     nd, n_loc, S = plan.slot_nbr.shape
     l = plan.rhs.shape[2]
+    if _spans_processes(mesh):
+        # multi-process: shard_map inputs must be GLOBAL arrays; every
+        # process holds the identical host plan, so globalize by slicing.
+        # The solution comes back all-gathered (replicated) so each
+        # process can read it for the host-side unpermute.
+        conv = lambda a: _globalize(mesh, P(axis, *([None] * (a.ndim - 1))),
+                                    a)
+        gather_out = True
+    else:
+        conv = jnp.asarray
+        gather_out = False
     out, iters, err = _edge_solve_impl(
-        jnp.asarray(plan.slot_nbr), jnp.asarray(plan.slot_val),
-        jnp.asarray(plan.req_recv), jnp.asarray(plan.ovf_dst),
-        jnp.asarray(plan.ovf_src), jnp.asarray(plan.ovf_val),
-        jnp.asarray(plan.diag), jnp.asarray(plan.mscale),
-        jnp.asarray(plan.rhs), mesh=mesh, axis=axis, tol=float(tol),
-        max_iter=int(max_iter))
+        conv(plan.slot_nbr), conv(plan.slot_val),
+        conv(plan.req_recv), conv(plan.ovf_dst),
+        conv(plan.ovf_src), conv(plan.ovf_val),
+        conv(plan.diag), conv(plan.mscale),
+        conv(plan.rhs), mesh=mesh, axis=axis, tol=float(tol),
+        max_iter=int(max_iter), gather_out=gather_out)
     return jnp.reshape(out, (nd * n_loc, l)), iters, err
 
 
 # Module-level jitted impl — see _sharded_knn_impl for why (per-call jitted
 # closures retrace every invocation).
-@partial(jax.jit, static_argnames=("mesh", "axis", "tol", "max_iter"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "tol", "max_iter",
+                                   "gather_out"))
 def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
                      ovf_src_a, ovf_val_a, diag_a, mscale_a, rhs_a, *,
-                     mesh, axis, tol, max_iter):
+                     mesh, axis, tol, max_iter, gather_out=False):
     nd, n_loc, S = slot_nbr_a.shape
     hcap = req_recv_a.shape[2]
     l = rhs_a.shape[2]
 
     spec3 = P(axis, None, None)
     spec2 = P(axis, None)
+    out_spec = P(None, None, None) if gather_out else spec3
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(spec3, spec3, spec3, spec2, spec2, spec2, spec2,
                        spec2, spec3),
-             out_specs=(spec3, P(), P()))
+             out_specs=(out_spec, P(), P()),
+             **({"check_vma": False} if gather_out else {}))
     def solve(slot_nbr, slot_val, req_recv, ovf_dst, ovf_src, ovf_val,
               diag, mscale, rhs):
         slot_nbr, slot_val, req_recv = slot_nbr[0], slot_val[0], req_recv[0]
@@ -458,7 +502,10 @@ def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
         err0 = jnp.sqrt(jnp.max(rs0))
         z, _, _, _, err, iters = jax.lax.while_loop(
             cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
-        return (mscale[:, None] * z)[None], iters, err
+        out = (mscale[:, None] * z)[None]
+        if gather_out:   # replicate the solution across the axis
+            out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        return out, iters, err
 
     return solve(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a, ovf_src_a,
                  ovf_val_a, diag_a, mscale_a, rhs_a)
@@ -483,21 +530,40 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     k_lab = y.shape[0]
     nd = mesh.shape[axis]
     pad = (-n_real) % nd
-    x = jnp.asarray(x)
-    if pad:
-        far = jnp.max(jnp.abs(x)) * 1e3 + 1e3
-        fill = far * (1.0 + jnp.arange(pad, dtype=x.dtype)[:, None])
-        x = jnp.concatenate(
-            [x, jnp.broadcast_to(fill, (pad, x.shape[1]))], axis=0)
+    multiproc = _spans_processes(mesh)
+    if multiproc:
+        # multi-process: the permutation/plan stages are host-side anyway;
+        # pull the (replicated or process-local) features to host once,
+        # run k-means as a LOCAL program (identical on every process), and
+        # hand the sharded KNN a GLOBAL replicated copy.  ``x`` must be
+        # host-addressable (replicated or local) — the eval path's encode
+        # produces exactly that.
+        x = np.asarray(jax.device_get(x))
+        if pad:
+            far = float(np.max(np.abs(x))) * 1e3 + 1e3
+            fill = far * (1.0 + np.arange(pad, dtype=x.dtype)[:, None])
+            x = np.concatenate(
+                [x, np.broadcast_to(fill, (pad, x.shape[1]))], axis=0)
+    else:
+        x = jnp.asarray(x)
+        if pad:
+            far = jnp.max(jnp.abs(x)) * 1e3 + 1e3
+            fill = far * (1.0 + jnp.arange(pad, dtype=x.dtype)[:, None])
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(fill, (pad, x.shape[1]))], axis=0)
     n = x.shape[0]
 
     # 1. cluster permutation (stable sort by k-means label -> contiguous
     #    chunks are coherent regions; halo shrinks accordingly)
     if n_clusters is None:
         n_clusters = max(nd, min(256, n // 512))
-    labels = np.asarray(jax.device_get(kmeans_labels(x, n_clusters)))
+    labels = np.asarray(jax.device_get(
+        kmeans_labels(jnp.asarray(x) if multiproc else x, n_clusters)))
     perm = np.argsort(labels, kind="stable").astype(np.int64)
-    x_p = x[jnp.asarray(perm)]
+    if multiproc:
+        x_p = _globalize(mesh, P(), np.ascontiguousarray(x[perm]))
+    else:
+        x_p = x[jnp.asarray(perm)]
 
     # y rows must stay attached to their nodes: labeled node ids under the
     # permutation
@@ -507,8 +573,10 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     y_full_rows = np.zeros((n, y_np.shape[1]), y_np.dtype)
     y_full_rows[inv[:k_lab]] = y_np
 
-    # 2. sharded KNN build on the permuted rows
-    nbr, dist2 = sharded_knn(mesh, x_p, knn_num, axis, knn_block)
+    # 2. sharded KNN build on the permuted rows (multi-process: replicated
+    #    outputs so every process can read the full lists for the plan)
+    nbr, dist2 = sharded_knn(mesh, x_p, knn_num, axis, knn_block,
+                             gather_out=multiproc)
     nbr = np.asarray(jax.device_get(nbr))
     dist2 = np.asarray(jax.device_get(dist2))
 

@@ -46,15 +46,45 @@ argv = [
     "--knn_k", "6", "--synth_n_train", "64", "--synth_n_test", "32",
     "--num_workers", "0", "--plot_freq_ss", "100", "--epsilon", "auto",
     "--mesh", "auto", "--grad_warn", "0"]
-if mode == "dd":
+if mode in ("dd", "ddshard"):
     # the device-resident production configuration across processes: the
     # dataset becomes a GLOBAL replicated array, per-step traffic is
     # index/label vectors, gather+augment+step run in one sharded jit
     argv += ["--device_data", "--augment_type_sup", "weak"]
+if mode == "ddshard":
+    # force the transductive eval through the edge-partitioned solver on
+    # the GLOBAL 4-device mesh (the multi-process production eval path:
+    # resident global encode + sharded KNN + halo-exchange CG)
+    argv += ["--shard_eval_min_n", "1"]
+
+import io
+
+buf = io.StringIO()
+
+
+class _Tee:
+    def __init__(self, *streams):
+        self.streams = streams
+
+    def write(self, s):
+        for t in self.streams:
+            t.write(s)
+
+    def flush(self):
+        for t in self.streams:
+            t.flush()
+
+
+sys.stdout = _Tee(sys.__stdout__, buf)
 opt = parse_option(argv)
 records = fullysup.run_training(opt)
+sys.stdout = sys.__stdout__
 assert jax.process_count() == nproc, jax.process_count()
 assert all(np.isfinite(v) for v in records["loss"]), records
 assert all(np.isfinite(v) for v in records["test_acc"]), records
+if mode == "ddshard":
+    # the eval must actually have used the edge-sharded route
+    assert "edge-sharded over 4 devices" in buf.getvalue(), \
+        buf.getvalue()[-2000:]
 print(f"MULTIHOST_DRIVER_OK pid={pid} loss={records['loss'][0]:.6f} "
       f"acc={records['test_acc'][-1]:.4f}", flush=True)

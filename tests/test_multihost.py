@@ -50,14 +50,18 @@ def test_two_process_distributed_init_and_psum():
         assert f"MULTIHOST_OK pid={pid} psum=6.0" in out, out
 
 
-@pytest.mark.parametrize("mode", ["", "dd"])
+@pytest.mark.parametrize("mode", ["", "dd", "ddshard"])
 def test_two_process_fullysup_driver(tmp_path, mode):
     """The PRODUCTION driver across two OS processes: fullysup --mesh auto
     trains one epoch on a 4-device mesh spanning both processes (global
     batch arrays over the coordination service, replicated state, primary
     -only checkpointing).  mode 'dd' adds --device_data (globally
-    replicated resident dataset, index-only per-step traffic).  Identical
-    seeds -> both processes must report the SAME loss and eval accuracy."""
+    replicated resident dataset, index-only per-step traffic); 'ddshard'
+    additionally forces the transductive eval through the edge-partitioned
+    solver on the global mesh (resident global encode + sharded KNN +
+    halo-exchange CG — the multi-process production eval, no single-host
+    fallback).  Identical seeds -> both processes must report the SAME
+    loss and eval accuracy."""
     coord = f"localhost:{_free_port()}"
     child = os.path.join(os.path.dirname(__file__),
                          "multihost_driver_child.py")

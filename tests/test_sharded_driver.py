@@ -66,6 +66,28 @@ def test_fullysup_mesh_routes_eval_through_edge_shard(tiny_opt, monkeypatch):
     assert all(np.isfinite(a) for a in rec["test_acc"])
 
 
+def test_fullysup_mesh_device_data_routes_eval_through_edge_shard(
+        tiny_opt, monkeypatch):
+    """--device_data + --mesh + low --shard_eval_min_n: the RESIDENT eval
+    encode must feed the edge-partitioned solver (the production combo the
+    round-3 advisor flagged as uncovered: mesh-committed features entering
+    edge_sharded_transductive_laplace on the eval mesh)."""
+    calls = []
+    orig = es_mod.edge_sharded_transductive_laplace
+
+    def spy(*a, **kw):
+        calls.append(kw.get("knn_num"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(es_mod, "edge_sharded_transductive_laplace", spy)
+    rec = fullysup.run_training(parse_option(
+        tiny_opt + ["--mesh", "8", "--shard_eval_min_n", "1",
+                    "--device_data", "--augment_type_sup", "weak",
+                    "--grad_warn", "0"]))
+    assert len(calls) >= 2
+    assert all(np.isfinite(a) for a in rec["test_acc"])
+
+
 def test_fullysup_mesh_mlp_branch_runs(tiny_opt):
     argv = [a if a != "gl" else "mlp" for a in tiny_opt]
     rec = fullysup.run_training(parse_option(argv + ["--mesh", "8",
