@@ -1,0 +1,210 @@
+"""Measured-components model of 2-host edge-sharded eval scaling.
+
+BASELINE.md's north star asks for >=80% edges/s scaling efficiency from one
+host to two.  No second host (or even a second chip) exists in this
+environment, so this probe assembles the honest substitute: a model whose
+every component is MEASURED, with only the link bandwidths parameterized.
+
+Stages (run separately — one TPU process at a time, CLAUDE.md):
+
+  plan     (CPU, 8+16 virtual devices):
+           build the 60k-node / k=50 edge-shard plan at nd=8 (one host of
+           8 chips) and nd=16 (two hosts), run the REAL halo-exchange CG on
+           the virtual mesh for the iteration count, and record the exact
+           per-iteration communication volumes (padded all_to_all bytes,
+           real halo rows, per-(q,p) pair table).      -> comm_model_r4/plan.json
+  compute  (TPU):
+           time the per-device local matvec at the plans' exact shapes
+           (slot gather-multiply-reduce over (n_loc, S) + halo concat)
+           on the real chip.                           -> comm_model_r4/compute.json
+  model    combine both JSONs into the efficiency table:
+             t_iter(1 host, nd=8)  = t_local(n/8)  + a2a_bytes/BW_ici
+             t_iter(2 hosts, nd=16)= t_local(n/16) + max(intra/BW_ici,
+                                                         cross/BW_dcn)
+             efficiency = t_iter_1h / (2 * t_iter_2h)
+           (conservative: no compute/comm overlap assumed; the cross-host
+           bytes are the exact sum of (q, p) halo pairs whose shards live
+           on different hosts under a contiguous device->host mapping).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=16 \
+      python benchmarks/probe_comm_model.py plan
+  python benchmarks/probe_comm_model.py compute          # on the TPU
+  python benchmarks/probe_comm_model.py model
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+OUT_DIR = os.path.join(os.path.dirname(__file__), "comm_model_r4")
+N, K, L, D = 60_000, 50, 10, 128
+SEED = 7
+
+
+def _features():
+    rng = np.random.default_rng(SEED)
+    centers = rng.normal(size=(L, D)) * 3.0
+    lab = rng.integers(0, L, N)
+    x = centers[lab] + rng.normal(size=(N, D))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32), lab
+
+
+def stage_plan():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 16)
+    import jax.numpy as jnp
+
+    from graphlearninglayer_tpu.ops.bsr import kmeans_labels
+    from graphlearninglayer_tpu.parallel import make_mesh
+    from graphlearninglayer_tpu.parallel.edge_shard import (
+        build_edge_shard_plan, edge_sharded_solve, sharded_knn)
+
+    x, lab = _features()
+    k_lab = 250
+    y_full = np.zeros((N, L), np.float32)
+    y_full[np.arange(k_lab), lab[:k_lab]] = 1.0
+
+    # shared cluster permutation (the driver does the same once per eval)
+    labels = np.asarray(kmeans_labels(jnp.asarray(x), 128))
+    perm = np.argsort(labels, kind="stable")
+    x_p = x[perm]
+    inv = np.empty(N, np.int64)
+    inv[perm] = np.arange(N)
+    yp = np.zeros((N, L), np.float32)
+    yp[inv[:k_lab]] = y_full[:k_lab]
+
+    out = {"n": N, "k": K, "l": L, "k_lab": k_lab}
+    for nd in (8, 16):
+        mesh = make_mesh(nd, axes=("graph",))
+        t0 = time.time()
+        nbr, dist2 = sharded_knn(mesh, jnp.asarray(x_p), K)
+        nbr = np.asarray(jax.device_get(nbr))
+        dist2 = np.asarray(jax.device_get(dist2))
+        t_knn = time.time() - t0
+        t0 = time.time()
+        plan = build_edge_shard_plan(nbr, dist2, yp, inv[:k_lab], nd,
+                                     tau=1e-8)
+        t_plan = time.time() - t0
+        t0 = time.time()
+        _, iters, err = edge_sharded_solve(mesh, plan)
+        iters = int(np.asarray(iters))
+        t_solve = time.time() - t0
+        s = dict(plan.stats)
+        qp = np.asarray(s.pop("halo_rows_qp"))
+        # exact cross-host bytes per iteration under a contiguous
+        # device->host split (first nd/2 shards = host 0): each (q, p)
+        # pair ships its PADDED hcap*l rows each way
+        half = nd // 2
+        qh = np.arange(nd) // half
+        cross_pairs = (qh[:, None] != qh[None, :])
+        itemsize = 4
+        s["cross_pairs"] = int(cross_pairs.sum())
+        s["cross_bytes_per_host_iter"] = int(
+            cross_pairs[:half].sum() * s["hcap"] * L * itemsize * 2)
+        s["intra_bytes_per_device_iter"] = int(
+            (nd - half) * s["hcap"] * L * itemsize * 2)
+        s["real_halo_rows_mean_pair"] = float(qp[~np.eye(nd, dtype=bool)]
+                                              .mean())
+        s.update(iters=iters, err=float(np.asarray(err)),
+                 t_knn_cpu=t_knn, t_plan_host=t_plan, t_solve_cpu=t_solve)
+        out[f"nd{nd}"] = s
+        print(f"nd={nd}: S={s['S']} hcap={s['hcap']} iters={iters} "
+              f"a2a={s['a2a_bytes_per_device']/1e6:.2f} MB/dev/iter "
+              f"cross={s['cross_bytes_per_host_iter']/1e6:.2f} MB/host/iter "
+              f"(plan {t_plan:.2f}s, cpu solve {t_solve:.2f}s)")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "plan.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def stage_compute():
+    """Time the per-device local matvec on the real chip at the plan's
+    shapes: gather (l, n_loc+halo) iterate columns by the (n_loc, S) slot
+    list, multiply by slot values, reduce over S (the exact inner loop of
+    _edge_solve_impl's spmm, minus the all_to_all)."""
+    import jax
+    import jax.numpy as jnp
+
+    with open(os.path.join(OUT_DIR, "plan.json")) as f:
+        plan = json.load(f)
+
+    results = {}
+    for key in ("nd8", "nd16"):
+        s = plan[key]
+        n_loc, S, hcap, nd = s["n_loc"], s["S"], s["hcap"], s["nd"]
+        n_ext = n_loc + nd * hcap
+        rng = np.random.default_rng(1)
+        slot_nbr = jnp.asarray(
+            rng.integers(0, n_ext, (n_loc, S)).astype(np.int32))
+        slot_val = jnp.asarray(rng.random((n_loc, S), np.float32))
+
+        @jax.jit
+        def local_matvec(xa):
+            xt = xa.T
+            gathered = jnp.take(xt, slot_nbr, axis=1)
+            return jnp.sum(slot_val[None] * gathered, axis=2).T
+
+        # warm-up compile + cache-salted timed loop (never-seen inputs per
+        # call; np.asarray sync — CLAUDE.md relay rules)
+        xa = jnp.asarray(rng.random((n_ext, L), np.float32))
+        np.asarray(local_matvec(xa))
+        iters = 30
+        salt = np.float32(time.time_ns() % 1000) * 1e-6
+        xs = [jnp.asarray(rng.random((n_ext, L), np.float32) + salt + i)
+              for i in range(iters)]
+        t0 = time.time()
+        outs = [local_matvec(xv) for xv in xs]
+        np.asarray(outs[-1])
+        for o in outs:
+            np.asarray(o[:1])
+        dt = (time.time() - t0) / iters
+        results[key] = dict(t_local_matvec=dt, n_loc=n_loc, S=S,
+                            n_ext=n_ext)
+        print(f"{key}: local matvec {dt*1e3:.3f} ms "
+              f"({n_loc}x{S} slots, {n_ext} ext rows)")
+    with open(os.path.join(OUT_DIR, "compute.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def stage_model():
+    with open(os.path.join(OUT_DIR, "plan.json")) as f:
+        plan = json.load(f)
+    with open(os.path.join(OUT_DIR, "compute.json")) as f:
+        comp = json.load(f)
+
+    e_total = 2 * plan["n"] * plan["k"]      # directed edges both halves
+    iters = plan["nd8"]["iters"]
+    rows = []
+    for bw_ici in (4.5e10, 9e10, 1.8e11):    # bytes/s per device over ICI
+        for bw_dcn in (6.25e9, 12.5e9, 2.5e10, 5e10):  # bytes/s per host
+            t1 = (comp["nd8"]["t_local_matvec"]
+                  + plan["nd8"]["a2a_bytes_per_device"] / bw_ici)
+            t2_comm = max(
+                plan["nd16"]["intra_bytes_per_device_iter"] / bw_ici,
+                plan["nd16"]["cross_bytes_per_host_iter"] / bw_dcn)
+            t2 = comp["nd16"]["t_local_matvec"] + t2_comm
+            eff = t1 / (2 * t2)
+            rows.append((bw_ici, bw_dcn, t1, t2, eff,
+                         e_total / t1, e_total / t2))
+    print(f"{'ICI B/s':>9} {'DCN B/s':>9} {'t1h/iter':>9} {'t2h/iter':>9} "
+          f"{'eff':>6} {'edges/s 1h':>11} {'edges/s 2h':>11}")
+    for r in rows:
+        print(f"{r[0]:9.1e} {r[1]:9.1e} {r[2]*1e3:7.2f}ms {r[3]*1e3:7.2f}ms "
+              f"{r[4]*100:5.1f}% {r[5]:11.3e} {r[6]:11.3e}")
+    out = dict(iters=iters, e_total=e_total,
+               rows=[dict(bw_ici=a, bw_dcn=b, t1=c, t2=d, eff=e,
+                          edges_s_1h=f_, edges_s_2h=g)
+                     for a, b, c, d, e, f_, g in rows])
+    with open(os.path.join(OUT_DIR, "model.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    {"plan": stage_plan, "compute": stage_compute,
+     "model": stage_model}[sys.argv[1]]()

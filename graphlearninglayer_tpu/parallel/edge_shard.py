@@ -371,6 +371,11 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
         ovf_val[q_s, rank_ov] = ov_val_g[order_ov].astype(dtype)
 
     halo_used = int(len(kuniq))
+    itemsize = np.dtype(dtype).itemsize
+    # exact per-(q, p) halo rows actually referenced (seg_cnt2 before the
+    # hcap padding): the real cross-shard traffic, vs the padded static
+    # all_to_all shape the program ships
+    halo_rows_qp = seg_cnt2.reshape(nd, nd)
     stats = dict(n=n, nd=nd, n_loc=n_loc, S=S, in_cap=cap, hcap=hcap,
                  ov_cap=ov_cap, halo_used=halo_used,
                  halo_frac=halo_used / max(nd * n, 1),
@@ -380,10 +385,25 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
                  sharded_bytes=int(slot_nbr_l[0].nbytes
                                    + slot_val_l[0].nbytes
                                    + (n_loc + nd * hcap) * l
-                                   * np.dtype(dtype).itemsize),
+                                   * itemsize),
                  replicated_bytes=int(slot_nbr.nbytes
                                       + slot_val.nbytes
-                                      + n * l * np.dtype(dtype).itemsize))
+                                      + n * l * itemsize),
+                 # ---- per-CG-iteration communication volume (one matvec
+                 # per iteration; the two psum reductions move (l,) scalars
+                 # and are negligible).  The all_to_all ships the PADDED
+                 # (nd, hcap, l) buffer each way per device:
+                 a2a_bytes_per_device=int(nd * hcap * l * itemsize),
+                 # real (unpadded) halo rows needed per device, and the max
+                 # over (q, p) pairs that sized hcap
+                 halo_rows_max_pair=int(halo_rows_qp.max())
+                 if len(kuniq) else 0,
+                 halo_rows_qp=halo_rows_qp.tolist(),
+                 # local compute per device per matvec: slot-list bytes
+                 # streamed (nbr ids + values) + iterate gather
+                 matvec_bytes_per_device=int(
+                     slot_nbr_l[0].nbytes + slot_val_l[0].nbytes
+                     + (n_loc + nd * hcap) * l * itemsize))
     return EdgeShardPlan(slot_nbr_l, slot_val_l, req_recv, ovf_dst, ovf_src,
                          ovf_val,
                          diag.reshape(nd, n_loc).astype(dtype),
