@@ -99,7 +99,8 @@ def parse_option(argv=None):
                              "interval visualization (the reference embeds "
                              "the full split, visualize.py:96-104; the "
                              "host-side t-SNE fallback is superlinear in n "
-                             "so the split is subsampled; <=0 = no cap)")
+                             "so the split is subsampled; 0 skips the "
+                             "visualizations entirely, negative = no cap)")
 
     # general parameters
     parser.add_argument("--temp", type=float, default=0.07,
@@ -150,6 +151,10 @@ def parse_option(argv=None):
                         help="device mesh for the train step and large-n "
                              "eval: 'auto' (all visible devices when >1), "
                              "'off', or an explicit device count")
+    parser.add_argument("--no_eval_cache", action="store_true",
+                        help="disable the cross-eval transductive graph "
+                             "cache (permutation reuse + sticky compiled "
+                             "shapes + CG warm start)")
     parser.add_argument("--shard_eval_min_n", type=int, default=20000,
                         help="route the transductive eval through the edge-"
                              "partitioned multi-device solver when the graph "

@@ -237,9 +237,39 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
             mesh, all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
             return_info=True)
     else:
-        u, cg_iters, cg_err = transductive_laplace(
-            all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
-            return_info=True, cache=cache)
+        import os
+
+        import jax
+        if os.environ.get("GLL_EVAL_DEBUG"):
+            # post-mortem support: snapshot the eval features BEFORE the
+            # solve so a device fault cannot take them with it
+            snap = np.asarray(jax.device_get(all_f))
+            seq = getattr(test_gl_transductive, "_dbg_seq", 0)
+            test_gl_transductive._dbg_seq = seq + 1
+            np.save(f"/tmp/gll_eval_debug_{seq}.npy", snap)
+            try:
+                u, cg_iters, cg_err = transductive_laplace(
+                    all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
+                    return_info=True, cache=cache)
+            except Exception:
+                path = "/tmp/gll_eval_failure_features.npz"
+                extra = {}
+                if cache is not None and cache.perm is not None:
+                    try:
+                        extra["cache_perm"] = np.asarray(
+                            jax.device_get(cache.perm))
+                        extra["cache_smax"] = cache.smax or -1
+                        extra["cache_ovf"] = cache.ovf_cap or -1
+                    except Exception:
+                        pass
+                np.savez(path, x=snap, y=np.asarray(jax.device_get(y)),
+                         **extra)
+                print(f"eval features dumped to {path}")
+                raise
+        else:
+            u, cg_iters, cg_err = transductive_laplace(
+                all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
+                return_info=True, cache=cache)
     pred = np.asarray(jnp.argmax(u, axis=1))[-len(test_images):]
     acc = 100.0 * float(np.mean(pred == test_labels))
     print(f"Test set: Accuracy for GL predictor "

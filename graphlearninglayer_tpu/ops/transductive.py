@@ -34,6 +34,7 @@ k=50, l=10 — benchmarks/probe_spmm_variants.py):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -251,49 +252,76 @@ def _transductive_bsr(x, g, y, tau: float, block: int, max_tile_bytes: int,
 
     cached_perm = (cache.perm if cache is not None
                    and cache.matches(n, k_lab) else None)
+    dbg = (print if os.environ.get("GLL_EVAL_DEBUG")
+           else (lambda *a, **k: None))
 
     def make_plan(perm):
+        dbg(f"  [bsr: plan from_perm={perm is not None}]", flush=True)
         if perm is not None:
             plan = bsr_plan_from_perm(g, perm, block)
         else:
             n_clusters = max(8, min(512, n // 1024))
             plan = bsr_plan(x, g, k_lab, n_clusters, block)
         hist = np.asarray(jax.device_get(bsr_stats(plan, block)), np.int64)
+        dbg(f"  [bsr: stats done]", flush=True)
         return plan, np.cumsum(hist)
 
-    plan, cum = make_plan(cached_perm)
-    total = int(cum[-1])
-    # smallest slot budget covering 99% of edges (densest tiles first)
-    smax_min = int(np.searchsorted(cum, 0.99 * total) + 1)
-    ovf_at = lambda s: total - int(cum[min(s, len(cum)) - 1])
-    if cached_perm is not None and ovf_at(smax_min) > 0.25 * total:
-        # stale permutation: features drifted past the cached clustering —
-        # one fresh plan before giving up on the BSR path entirely
-        plan, cum = make_plan(None)
+    def _coverage(cum):
+        """(total, smax_min, ovf_at, capped): smallest slot budget covering
+        99% of edges, overflow for any budget, and the headroomed budget
+        -capped smax the solve would actually use."""
         total = int(cum[-1])
         smax_min = int(np.searchsorted(cum, 0.99 * total) + 1)
+        ovf_at = lambda s: total - int(cum[min(s, len(cum)) - 1])
+
+        def capped(s):
+            s = -(-(s + max(s // 8, 4)) // 16) * 16
+            return max(min(s, int(budget) // 8 * 8, len(cum)), 1)
+
+        return total, smax_min, ovf_at, capped
+
+    plan, cum = make_plan(cached_perm)
+    total, smax_min, ovf_at, capped = _coverage(cum)
+    if (cached_perm is not None
+            and ovf_at(capped(smax_min)) > 0.25 * total):
+        # stale permutation: under the budget-capped slot count the cached
+        # ordering no longer tiles this graph — one fresh plan before
+        # giving up on the BSR path entirely
+        dbg("  [bsr: cached perm stale, replanning]", flush=True)
+        plan, cum = make_plan(None)
+        total, smax_min, ovf_at, capped = _coverage(cum)
         cached_perm = None
 
-    smax = ovf_cap = None
-    if (cache is not None and cache.matches(n, k_lab)
-            and cache.smax is not None and cache.smax >= smax_min
-            and cache.smax <= int(budget) // 8 * 8
-            and ovf_at(cache.smax) <= (cache.ovf_cap or 0)):
-        # sticky budgets: the previous compiled shape still covers this
-        # graph — reuse it verbatim (no recompile)
-        smax, ovf_cap = cache.smax, cache.ovf_cap
+    # Sticky static shapes, decided PER COMPONENT (a fresh static combo
+    # means a fresh ~30s+ remote-relay compile every eval — the dominant
+    # amortization target, and every compile is a small flake risk):
+    #   smax:    reuse the cached slot count whenever it still covers the
+    #            requirement (>= capped requirement, within budget) — in
+    #            particular when both are pinned at the budget cap;
+    #   ovf_cap: reuse whenever the new overflow still fits; grow with
+    #            ~25% headroom (bucketed) only when it does not.
+    smax_req = capped(smax_min)
+    cache_ok = (cache is not None and cache.matches(n, k_lab))
+    if (cache_ok and cache.smax is not None
+            and smax_req <= cache.smax <= int(budget) // 8 * 8
+            and cache.smax <= len(cum)):
+        smax = cache.smax
     else:
         # ~20% headroom then bucketed to 16 so that run-to-run jitter in
-        # the data does not flip the static shape (a recompile costs far
-        # more than the extra zero tiles); capped by the tile-memory budget
-        smax = -(-(smax_min + max(smax_min // 8, 4)) // 16) * 16
-        smax = min(smax, int(budget) // 8 * 8, len(cum))
-        ovf = ovf_at(smax)
-        if ovf > 0.25 * total:                     # no block structure
-            return None
-        # same headroom logic for the static overflow budget
+        # the data does not flip the static shape; capped by the
+        # tile-memory budget
+        smax = smax_req
+    ovf = ovf_at(smax)
+    if ovf > 0.25 * total:                         # no block structure
+        return None
+    if cache_ok and cache.ovf_cap is not None and ovf <= cache.ovf_cap:
+        ovf_cap = cache.ovf_cap
+    else:
         ovf_cap = 0 if ovf == 0 else \
             -(-(ovf + max(ovf // 4, 2048)) // 16384) * 16384
+    dbg(f"  [bsr: solve smax={smax} ovf_cap={ovf_cap} "
+        f"smax_min={smax_min} total={total} warm={x0 is not None}]",
+        flush=True)
     res = _solve_bsr(plan, y, block, smax, ovf_cap, float(tau), x0)
     if cache is not None:
         cache.n, cache.k_lab = n, k_lab
@@ -352,6 +380,9 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
         except jax.errors.JaxRuntimeError as e:
             print(f"transductive bsr mode failed ({str(e).splitlines()[0][:120]}); "
                   "falling back to sorted")
+            if os.environ.get("GLL_EVAL_DEBUG"):
+                import traceback
+                traceback.print_exc()
             res = None
         if res is not None:
             return _done(res)

@@ -166,11 +166,15 @@ def run_training(opt) -> dict:
     sample = jnp.zeros((1, *spec.image_shape), jnp.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(opt.seed),
                                sample)
-    start_epoch = 0
+    # reference semantics (cli.py:36-37,45-46; FullySup.py:268): the
+    # checkpoint only warms the weights; the epoch-loop offset comes from
+    # --start_epochs (resume = pass both).  Loading another run's encoder
+    # (e.g. the README's SimCLR/MLP checkpoint recipe) starts at epoch 0.
+    start_epoch = opt.start_epochs
     if opt.cp_load_path != "no":
-        state, start_epoch = restore_checkpoint(opt.cp_load_path, state)
+        state, ckpt_epoch = restore_checkpoint(opt.cp_load_path, state)
         print(f"Successfully loaded checkpoint from {opt.cp_load_path} "
-              f"(epoch {start_epoch})")
+              f"(epoch {ckpt_epoch})")
 
     # NOTE the tau convention: FullySup passes --temp as tau to the GL op
     # (reference FullySup.py:156) while the transductive eval uses --tau
@@ -348,7 +352,8 @@ def run_training(opt) -> dict:
     # transductive evals (permutation reuse + sticky compiled shapes + CG
     # warm start; ops/transductive.py EvalGraphCache)
     from ..ops import EvalGraphCache
-    eval_cache = EvalGraphCache()
+    eval_cache = (None if getattr(opt, "no_eval_cache", False)
+                  else EvalGraphCache())
 
     def evaluate():
         # eval cadence mirrors FullySup.py:253-261/287-296: the gl branch
@@ -397,6 +402,9 @@ def run_training(opt) -> dict:
         (sklearn t-SNE when umap is absent) is superlinear in n — a
         documented deviation (PARITY.md).  Best-effort — never fails the
         run."""
+        cap = int(getattr(opt, "viz_max_n", 10000))
+        if cap == 0:       # 0 = skip visualizations (negative = no cap)
+            return
         try:
             from ..evalx import encode_dataset, visualize
             from ..evalx.harness import _cached_encode_step, _norm_key
@@ -407,7 +415,6 @@ def run_training(opt) -> dict:
                 model, _norm_key((eval_tf.mean, eval_tf.std)))
             st_v = _host_state()
             n_tr = len(spec.train_images)
-            cap = int(getattr(opt, "viz_max_n", 10000))
             if n_tr > cap > 0:
                 rng_v = np.random.default_rng(opt.seed + 733)
                 sel = np.sort(rng_v.choice(n_tr, cap, replace=False))

@@ -232,3 +232,37 @@ def test_transductive_cache_shape_change_is_safe():
                                    bsr_block=64)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_transductive_cache_stale_perm_replans_under_budget(monkeypatch):
+    """A cached permutation from an UNRELATED clustering must trigger the
+    staleness replan when the budget-capped slot count cannot cover the
+    mis-tiled graph (the round-4 fix: staleness is judged at the capped
+    smax the solve would use, not at the uncapped 99%-coverage point)."""
+    import graphlearninglayer_tpu.ops.transductive as tr
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+
+    n, l, k_lab = 1200, 5, 60
+    x1, lab1 = _clustered(n, l=l, seed=51)
+    x2, lab2 = _clustered(n, l=l, seed=77)    # unrelated clustering
+    y1 = one_hot_encode(jnp.asarray(lab1[:k_lab]), l)
+    y2 = one_hot_encode(jnp.asarray(lab2[:k_lab]), l)
+
+    fresh_calls = []
+    orig_plan = tr.bsr_plan
+    monkeypatch.setattr(tr, "bsr_plan",
+                        lambda *a, **k: fresh_calls.append(1)
+                        or orig_plan(*a, **k))
+    cache = EvalGraphCache()
+    # budget of exactly 8 tile slots (f64 under the test conftest): plenty
+    # for a fresh cluster-ordered plan, far too small for the graph tiled
+    # under a foreign permutation
+    kw = dict(knn_num=10, mode="bsr", bsr_block=64,
+              bsr_max_tile_bytes=5_200_000)
+    transductive_laplace(x1, y1, cache=cache, **kw)
+    assert fresh_calls == [1]
+    got = transductive_laplace(x2, y2, cache=cache, **kw)
+    assert fresh_calls == [1, 1], "stale perm must force a fresh plan"
+    ref = transductive_laplace(x2, y2, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)
