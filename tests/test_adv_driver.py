@@ -44,3 +44,16 @@ def test_robust_mlp_training_runs(tiny_cfg):
                  save_dir=str(tiny_cfg))
     assert np.isfinite(res["mlp_acc"])
     assert 0.0 <= res["mlp_acc"] <= 1.0
+
+
+def test_eval_runs_when_test_set_smaller_than_batch(tiny_cfg, monkeypatch):
+    """A test split smaller than the training batch must still be
+    evaluated (the eval batch caps at the split size); previously
+    `usable` rounded down to zero and the eval silently reported 0.0."""
+    cfg = ad.DATASET_CONFIGS["synthetic"]
+    monkeypatch.setitem(
+        ad.DATASET_CONFIGS, "synthetic",
+        ad.AdvConfig(**{**cfg.__dict__, "batch_size": 100}))  # > n_test=64
+    res = ad.run("gl", "natural", "synthetic", save_dir=str(tiny_cfg))
+    assert np.isfinite(res["gl_acc"])
+    assert res["gl_acc"] > 0.0
