@@ -172,24 +172,52 @@ def _xi_yi(h, w):
 # warp: per-image source map -> resampled image
 # --------------------------------------------------------------------------
 
+def _chunked_over_batch(fn, chunk: int, *arrays):
+    """Apply ``fn`` to ``chunk``-row slices of the leading (batch) axis via
+    lax.map (pads the batch up to a multiple, trims after).  Bounds the
+    transient memory of one-hot formulations whose per-image footprint is
+    large (84x84: ~100 MB/image warp one-hot)."""
+    b = arrays[0].shape[0]
+    pad = (-b) % chunk
+    padded = [jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+              if pad else a for a in arrays]
+    stacked = [a.reshape((b + pad) // chunk, chunk, *a.shape[1:])
+               for a in padded]
+    out = jax.lax.map(lambda args: fn(*args), tuple(stacked))
+    return out.reshape(-1, *out.shape[2:])[:b]
+
+
 def _warp(x, src, valid):
     """out[b, c, p] = x[b, c, src[b, p]] where valid else 0.
 
     x (B, C, P) int32, src (B, P) int32 in [0, P), valid (B, P) bool.
     One-hot bf16 matmul on the MXU (exact: single nonzero per row, uint8
-    values exact in bf16, f32 accumulation); gather fallback when the
-    (B, P, P) one-hot would exceed the memory budget (large images OR
-    large device-resident batches — both exact either way).
+    values exact in bf16, f32 accumulation).  Past the direct-path memory
+    budget the one-hot runs CHUNKED over the batch (lax.map) so the
+    transient stays bounded — sequential MXU streams instead of TPU's
+    catastrophic per-element gathers (84x84 measured: 460 ms gather vs
+    the chunked matmul, probe_aug_breakdown.py).  The take_along_axis
+    fallback remains for images so large even a one-image one-hot would
+    blow the budget.
     """
     b, c, p = x.shape
-    if (p <= _MATMUL_MAX_PIXELS
-            and 2 * _gate_rows(b) * p * p <= _MATMUL_MAX_BYTES):
+
+    def direct(xc, sc, vc):
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
-        oh = ((src[:, :, None] == iota) & valid[:, :, None])
+        oh = ((sc[:, :, None] == iota) & vc[:, :, None])
         out = jnp.einsum("bpq,bcq->bcp", oh.astype(jnp.bfloat16),
-                         x.astype(jnp.bfloat16),
+                         xc.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         return out.astype(jnp.int32)
+
+    if (p <= _MATMUL_MAX_PIXELS
+            and 2 * _gate_rows(b) * p * p <= _MATMUL_MAX_BYTES):
+        return direct(x, src, valid)
+    per_img = 2 * p * p
+    if per_img * 8 <= _MATMUL_MAX_BYTES:           # chunked one-hot path
+        chunk = max(int(_MATMUL_MAX_BYTES // per_img) // 8 * 8, 8)
+        chunk = min(chunk, max(_gate_rows(b), 1))
+        return _chunked_over_batch(direct, chunk, x, src, valid)
     g = jnp.take_along_axis(x, jnp.broadcast_to(src[:, None, :], x.shape),
                             axis=2)
     return jnp.where(valid[:, None, :], g, 0)
@@ -300,13 +328,22 @@ def _apply_lut_planar(x, lut):
     batch size would be ~16 GiB) fall back to take_along_axis on the
     256-entry table — exact, no bf16 involved (same P gate as _warp)."""
     b, c, p = x.shape
-    if (p <= _MATMUL_MAX_PIXELS
-            and 512 * _gate_rows(b) * c * p <= _MATMUL_MAX_BYTES):
-        onehot = (x[..., None] == jnp.arange(256, dtype=jnp.int32))
+
+    def direct(xc, lc):
+        onehot = (xc[..., None] == jnp.arange(256, dtype=jnp.int32))
         out = jnp.einsum("bcpl,bcl->bcp", onehot.astype(jnp.bfloat16),
-                         lut.astype(jnp.bfloat16),
+                         lc.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         return out.astype(jnp.int32)
+
+    if (p <= _MATMUL_MAX_PIXELS
+            and 512 * _gate_rows(b) * c * p <= _MATMUL_MAX_BYTES):
+        return direct(x, lut)
+    per_img = 512 * c * p
+    if per_img * 8 <= _MATMUL_MAX_BYTES:           # chunked one-hot path
+        chunk = max(int(_MATMUL_MAX_BYTES // per_img) // 8 * 8, 8)
+        chunk = min(chunk, max(_gate_rows(b), 1))
+        return _chunked_over_batch(direct, chunk, x, lut)
     return jnp.take_along_axis(lut, x, axis=-1)
 
 

@@ -22,17 +22,19 @@ Layout pipeline:
   2. sharded exact KNN (shard_map: queries row-sharded, corpus replicated —
      features are O(n d), tiny next to the O(n^2) panel work).
   3. host-side plan (numpy, one-time per graph): symmetrization
-     coefficients, affinities, per-shard combined ELL slot lists remapped
-     into a [local rows | halo buffer] id space, halo request tables,
-     overflow COO for hub rows, Jacobi diagonal, preconditioned RHS.
+     coefficients, affinities, per-shard sorted edge lists remapped into
+     a [local rows | halo buffer] id space, halo request tables, Jacobi
+     diagonal, preconditioned RHS.
   4. device CG (shard_map): ``stable_conjgrad`` semantics (masked
      per-column updates, GLL.py:247-276) with (l,)-sized psum reductions;
-     each matvec = one all_to_all halo refresh + local gather-multiply-
-     reduce over the slot lists (+ one small overflow scatter).
+     each matvec = one all_to_all halo refresh + a flat (l, E) gather and
+     sorted segment-sum over the local edge list — the same transposed
+     layout the single-chip 'sorted' solver measured fastest
+     (ops/transductive.py; the earlier (n_loc, S) slot-grid gather put
+     the slot count in the lane dimension and ran ~10x slower per edge).
 
-Static shapes throughout: slot cap, halo cap, and overflow cap are
-bucketed per graph so repeated solves of similar graphs reuse the
-compiled program.
+Static shapes throughout: edge cap and halo cap are bucketed per graph so
+repeated solves of similar graphs reuse the compiled program.
 """
 from __future__ import annotations
 
@@ -146,15 +148,24 @@ def _sharded_knn_impl(x, *, mesh, axis, k, block, gather_out=False):
 class EdgeShardPlan(NamedTuple):
     """Static per-shard solve plan (leading axis = shard).
 
-    slot_nbr:  (nd, n_loc, S) int32 — slot column ids in the shard-local
+    The local matvec is a flat sorted-edge segment-sum — the layout the
+    single-chip solver measured fastest (ops/transductive.py 'sorted'
+    mode; benchmarks/probe_spmm_variants.py).  The earlier (n_loc, S)
+    slot-grid gather form put the slot count S in the lane dimension
+    (narrow, padded) and measured ~10x fewer edges/s on the chip
+    (benchmarks/probe_comm_model.py round-4 notes).
+
+    edge_dst:  (nd, E_cap) int32 — destination LOCAL row of every
+               symmetric-matrix entry owned by the shard, ascending;
+               n_loc marks padding (accumulated into a dropped row).
+    edge_src:  (nd, E_cap) int32 — source column in the shard-local
                [0, n_loc + nd*Hcap) id space (local rows first, then the
                halo buffer in peer-major order).
-    slot_val:  (nd, n_loc, S) — coefficient-folded symmetric affinities.
+    edge_val:  (nd, E_cap) — coefficient-folded symmetric affinities
+               (0 on padding).
     req_recv:  (nd, nd, Hcap) int32 — req_recv[p, q] = LOCAL row indices on
                shard p that shard q's halo requests (the all_to_all send
                gather list).
-    ovf_*:     (nd, OV) — overflow COO entries (dst local row, src in the
-               local+halo id space); dst == n_loc marks padding (dropped).
     diag:      (nd, n_loc) — Luu diagonal (degree + tau; 0-degree on
                labeled rows' entries is irrelevant, they are masked).
     mscale:    (nd, n_loc) — Jacobi 1/sqrt(diag) on unlabeled rows, 0 on
@@ -163,12 +174,10 @@ class EdgeShardPlan(NamedTuple):
     stats:     dict — sizes for observability/memory accounting.
     """
 
-    slot_nbr: np.ndarray
-    slot_val: np.ndarray
+    edge_dst: np.ndarray
+    edge_src: np.ndarray
+    edge_val: np.ndarray
     req_recv: np.ndarray
-    ovf_dst: np.ndarray
-    ovf_src: np.ndarray
-    ovf_val: np.ndarray
     diag: np.ndarray
     mscale: np.ndarray
     rhs: np.ndarray
@@ -178,7 +187,6 @@ class EdgeShardPlan(NamedTuple):
 def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
                           y_full: np.ndarray, labeled_pos: np.ndarray,
                           nd: int, tau: float, epsilon="auto",
-                          in_cap_limit: int = 512,
                           dtype=None) -> EdgeShardPlan:
     """One-time host plan from the (already cluster-permuted) KNN lists.
 
@@ -240,36 +248,18 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
     mscale = np.where(unlab, 1.0 / np.sqrt(diag + 1e-10), 0.0)
     rhs = mscale[:, None] * b
 
-    # ---- combined slot lists: k out-slots + in-slots up to cap ----------
-    order = np.argsort(cols[valid], kind="stable")
-    src_s = rows[valid][order]
-    dst_s = cols[valid][order]
-    c_s = c[valid][order]
-    indeg = np.bincount(dst_s, minlength=n)
-    cap = min(_bucket(indeg.max() if len(dst_s) else 1, 32), in_cap_limit)
-    start = np.zeros(n + 1, np.int64)
-    np.cumsum(indeg, out=start[1:])
-    rank = np.arange(len(dst_s)) - start[dst_s]
-    S = k + cap
-
-    # out half: original (n, k) lists; masked edges keep val 0 / self col
-    out_c = (coef * w).reshape(n, k)
-    keep = out_c != 0.0
-    out_ids = np.where(keep, nbr.astype(np.int64),
-                       np.arange(n, dtype=np.int64)[:, None])
-    # in half / overflow split
-    infit = rank < cap
-    in_dst = dst_s[infit]
-    in_src = src_s[infit]
-    ov_dst_g = dst_s[~infit]
-    ov_src_g = src_s[~infit]
-    ov_val_g = c_s[~infit]
+    # ---- combined symmetric edge list (both halves), per-shard ----------
+    idx_v = np.flatnonzero(valid)
+    r_v = rows[idx_v]
+    c_v = cols[idx_v]
+    w_v = c[idx_v]
+    dst_g = np.concatenate([r_v, c_v])      # every entry's destination row
+    src_g = np.concatenate([c_v, r_v])
+    val_g = np.concatenate([w_v, w_v])
+    qd = dst_g // n_loc                     # owning shard of each entry
 
     # ---- per-shard remap into [local | halo] id space -------------------
-    # One vectorized pass over the ~2nk real edges (the earlier
-    # per-(shard, peer) Python np.unique sweep cost ~2.7 s at 60k/k=50;
-    # remapping the full padded slot grid cost another ~3 s — this
-    # formulation is ~4x faster end-to-end and flat in nd):
+    # One vectorized pass over the ~4nk entries:
     #   * a membership bitmap over (shard, global id) marks every remote
     #     reference — an O(E) scatter instead of an O(E log E) key sort;
     #   * flatnonzero yields the unique (q, id) pairs sorted by (q, id),
@@ -277,17 +267,9 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
     #     a contiguous segment of it;
     #   * remapping a (q, id) reference is then one O(1) table lookup.
     shard_of = lambda ids: ids // n_loc
-    rowq = shard_of(np.arange(n, dtype=np.int64))[:, None]    # (n, 1)
     seen_flat = np.zeros(nd * n, bool)
-    rem_out = keep & (shard_of(out_ids) != rowq)
-    seen_flat[(rowq * n + out_ids)[rem_out]] = True
-    q_in = shard_of(in_dst)
-    in_rem = shard_of(in_src) != q_in
-    seen_flat[q_in[in_rem] * n + in_src[in_rem]] = True
-    ovq_g = shard_of(ov_dst_g)
-    if len(ov_src_g):
-        ov_rem = shard_of(ov_src_g) != ovq_g
-        seen_flat[ovq_g[ov_rem] * n + ov_src_g[ov_rem]] = True
+    rem = shard_of(src_g) != qd
+    seen_flat[qd[rem] * n + src_g[rem]] = True
     kuniq = np.flatnonzero(seen_flat)           # sorted (q*n + id) keys
     # position of any (q, id) key among the uniques, O(1) per lookup
     kpos_of = np.cumsum(seen_flat, dtype=np.int64) - 1
@@ -340,35 +322,33 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
         return np.where(p_of == q_arr, ids - q_arr * n_loc,
                         halo).astype(np.int32)
 
-    # slot grids are built DIRECTLY in remapped form: padding slots are the
-    # row's own local id (val 0), only the ~2nk real edges get remapped —
-    # the padded (n, S) grid is touched once, not re-traversed
-    slot_nbr = np.tile((np.arange(n, dtype=np.int32) % n_loc)[:, None],
-                       (1, S))
-    slot_val = np.zeros((n, S), dtype)
-    slot_nbr[:, :k] = remap_flat(np.broadcast_to(rowq, (n, k)), out_ids)
-    slot_val[:, :k] = out_c
-    slot_nbr[in_dst, k + rank[infit]] = remap_flat(q_in, in_src)
-    slot_val[in_dst, k + rank[infit]] = c_s[infit]
-    slot_nbr_l = slot_nbr.reshape(nd, n_loc, S)
-    slot_val_l = slot_val.reshape(nd, n_loc, S)
-
-    ov_counts = np.bincount(ovq_g, minlength=nd)
-    ov_max = int(ov_counts.max()) if len(ov_dst_g) else 1
-    ov_cap = _bucket(ov_max + max(ov_max // 4, 32), 128)  # same headroom
-    ovf_dst = np.full((nd, ov_cap), n_loc, np.int32)   # n_loc = drop marker
-    ovf_src = np.zeros((nd, ov_cap), np.int32)
-    ovf_val = np.zeros((nd, ov_cap), dtype)
-    if len(ov_dst_g):
-        order_ov = np.argsort(ovq_g, kind="stable")
-        q_s = ovq_g[order_ov]
-        start_ov = np.zeros(nd + 1, np.int64)
-        np.cumsum(ov_counts, out=start_ov[1:])
-        rank_ov = np.arange(len(q_s)) - start_ov[q_s]
-        ovf_dst[q_s, rank_ov] = (ov_dst_g[order_ov]
-                                 - q_s * n_loc).astype(np.int32)
-        ovf_src[q_s, rank_ov] = remap_flat(q_s, ov_src_g[order_ov])
-        ovf_val[q_s, rank_ov] = ov_val_g[order_ov].astype(dtype)
+    # ---- per-shard sorted edge arrays (pad dst = n_loc, dropped row) ----
+    # one stable single-key sort by destination row: shards own contiguous
+    # row ranges, so the sorted list is shard-major AND per-shard ascending
+    # (what indices_are_sorted=True needs in the matvec's segment-sum)
+    order = np.argsort(dst_g, kind="stable")
+    dst_s = dst_g[order]
+    src_s = src_g[order]
+    val_s = val_g[order]
+    q_s = qd[order]
+    cnt_q = np.bincount(q_s, minlength=nd)
+    e_max = int(cnt_q.max()) if len(dst_s) else 1
+    # ~20% headroom then a coarse bucket so run-to-run jitter in the edge
+    # count does not flip the static shape (the ELL/BSR cap policy)
+    if e_max >= 4096:
+        e_cap = _bucket(e_max + e_max // 5, 16384)
+    else:
+        e_cap = _bucket(e_max, 256)
+    start_q = np.zeros(nd + 1, np.int64)
+    np.cumsum(cnt_q, out=start_q[1:])
+    rank_q = np.arange(len(dst_s)) - start_q[q_s]
+    edge_dst = np.full((nd, e_cap), n_loc, np.int32)   # n_loc = pad row
+    edge_src = np.zeros((nd, e_cap), np.int32)
+    edge_val = np.zeros((nd, e_cap), dtype)
+    if len(dst_s):
+        edge_dst[q_s, rank_q] = (dst_s - q_s * n_loc).astype(np.int32)
+        edge_src[q_s, rank_q] = remap_flat(q_s, src_s)
+        edge_val[q_s, rank_q] = val_s.astype(dtype)
 
     halo_used = int(len(kuniq))
     itemsize = np.dtype(dtype).itemsize
@@ -376,18 +356,17 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
     # hcap padding): the real cross-shard traffic, vs the padded static
     # all_to_all shape the program ships
     halo_rows_qp = seg_cnt2.reshape(nd, nd)
-    stats = dict(n=n, nd=nd, n_loc=n_loc, S=S, in_cap=cap, hcap=hcap,
-                 ov_cap=ov_cap, halo_used=halo_used,
+    stats = dict(n=n, nd=nd, n_loc=n_loc, e_cap=e_cap, hcap=hcap,
+                 halo_used=halo_used,
                  halo_frac=halo_used / max(nd * n, 1),
                  # per-matvec working set (rows touched per device) vs the
                  # replicated all-gather design's n rows
                  rows_per_device=n_loc + nd * hcap,
-                 sharded_bytes=int(slot_nbr_l[0].nbytes
-                                   + slot_val_l[0].nbytes
-                                   + (n_loc + nd * hcap) * l
-                                   * itemsize),
-                 replicated_bytes=int(slot_nbr.nbytes
-                                      + slot_val.nbytes
+                 sharded_bytes=int(edge_dst[0].nbytes + edge_src[0].nbytes
+                                   + edge_val[0].nbytes
+                                   + (n_loc + nd * hcap) * l * itemsize),
+                 replicated_bytes=int(edge_dst.nbytes + edge_src.nbytes
+                                      + edge_val.nbytes
                                       + n * l * itemsize),
                  # ---- per-CG-iteration communication volume (one matvec
                  # per iteration; the two psum reductions move (l,) scalars
@@ -399,13 +378,13 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
                  halo_rows_max_pair=int(halo_rows_qp.max())
                  if len(kuniq) else 0,
                  halo_rows_qp=halo_rows_qp.tolist(),
-                 # local compute per device per matvec: slot-list bytes
-                 # streamed (nbr ids + values) + iterate gather
+                 # local compute per device per matvec: edge-list bytes
+                 # streamed (ids + values) + iterate gather
                  matvec_bytes_per_device=int(
-                     slot_nbr_l[0].nbytes + slot_val_l[0].nbytes
+                     edge_dst[0].nbytes + edge_src[0].nbytes
+                     + edge_val[0].nbytes
                      + (n_loc + nd * hcap) * l * itemsize))
-    return EdgeShardPlan(slot_nbr_l, slot_val_l, req_recv, ovf_dst, ovf_src,
-                         ovf_val,
+    return EdgeShardPlan(edge_dst, edge_src, edge_val, req_recv,
                          diag.reshape(nd, n_loc).astype(dtype),
                          mscale.reshape(nd, n_loc).astype(dtype),
                          rhs.reshape(nd, n_loc, l).astype(dtype), stats)
@@ -422,7 +401,7 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
     every matvec refreshes the halo with one all_to_all and reduces locally
     over the slot lists.
     """
-    nd, n_loc, S = plan.slot_nbr.shape
+    nd, n_loc = plan.diag.shape
     l = plan.rhs.shape[2]
     if _spans_processes(mesh):
         # multi-process: shard_map inputs must be GLOBAL arrays; every
@@ -436,10 +415,8 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
         conv = jnp.asarray
         gather_out = False
     out, iters, err = _edge_solve_impl(
-        conv(plan.slot_nbr), conv(plan.slot_val),
-        conv(plan.req_recv), conv(plan.ovf_dst),
-        conv(plan.ovf_src), conv(plan.ovf_val),
-        conv(plan.diag), conv(plan.mscale),
+        conv(plan.edge_dst), conv(plan.edge_src), conv(plan.edge_val),
+        conv(plan.req_recv), conv(plan.diag), conv(plan.mscale),
         conv(plan.rhs), mesh=mesh, axis=axis, tol=float(tol),
         max_iter=int(max_iter), gather_out=gather_out)
     return jnp.reshape(out, (nd * n_loc, l)), iters, err
@@ -449,10 +426,10 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
 # closures retrace every invocation).
 @partial(jax.jit, static_argnames=("mesh", "axis", "tol", "max_iter",
                                    "gather_out"))
-def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
-                     ovf_src_a, ovf_val_a, diag_a, mscale_a, rhs_a, *,
+def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_recv_a,
+                     diag_a, mscale_a, rhs_a, *,
                      mesh, axis, tol, max_iter, gather_out=False):
-    nd, n_loc, S = slot_nbr_a.shape
+    nd, n_loc = diag_a.shape
     hcap = req_recv_a.shape[2]
     l = rhs_a.shape[2]
 
@@ -461,14 +438,13 @@ def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
     out_spec = P(None, None, None) if gather_out else spec3
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec3, spec3, spec3, spec2, spec2, spec2, spec2,
-                       spec2, spec3),
+             in_specs=(spec2, spec2, spec2, spec3, spec2, spec2, spec3),
              out_specs=(out_spec, P(), P()),
              **({"check_vma": False} if gather_out else {}))
-    def solve(slot_nbr, slot_val, req_recv, ovf_dst, ovf_src, ovf_val,
-              diag, mscale, rhs):
-        slot_nbr, slot_val, req_recv = slot_nbr[0], slot_val[0], req_recv[0]
-        ovf_dst, ovf_src, ovf_val = ovf_dst[0], ovf_src[0], ovf_val[0]
+    def solve(edge_dst, edge_src, edge_val, req_recv, diag, mscale, rhs):
+        edge_dst, edge_src, edge_val = (edge_dst[0], edge_src[0],
+                                        edge_val[0])
+        req_recv = req_recv[0]
         diag, mscale, b = diag[0], mscale[0], rhs[0]
         unlab = mscale > 0
 
@@ -478,12 +454,15 @@ def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
             send = p_loc[req_recv]                       # (nd, hcap, l)
             halo = jax.lax.all_to_all(send, axis, 0, 0)  # (nd, hcap, l)
             xa = jnp.concatenate([p_loc, halo.reshape(nd * hcap, l)], axis=0)
+            # transposed (l, E) layout + sorted segment-sum — the fast
+            # single-chip 'sorted' matvec form (ops/transductive.py):
+            # minor dims stay wide and fully packed; the narrow-lane
+            # (n_loc, S) slot-gather form measured ~10x slower per edge
             xt = xa.T                                    # (l, n_loc+halo)
-            gathered = jnp.take(xt, slot_nbr, axis=1)    # (l, n_loc, S)
-            out = jnp.sum(slot_val[None] * gathered, axis=2).T
-            out = out.at[ovf_dst].add(
-                ovf_val[:, None] * xa[ovf_src], mode="drop")
-            return out
+            contrib = edge_val[None] * jnp.take(xt, edge_src, axis=1)
+            out_t = jnp.zeros((l, n_loc + 1), xt.dtype).at[:, edge_dst].add(
+                contrib, indices_are_sorted=True)        # pad row = n_loc
+            return out_t[:, :n_loc].T
 
         def matvec(p):
             q = mscale[:, None] * p
@@ -527,8 +506,8 @@ def _edge_solve_impl(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a,
             out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
         return out, iters, err
 
-    return solve(slot_nbr_a, slot_val_a, req_recv_a, ovf_dst_a, ovf_src_a,
-                 ovf_val_a, diag_a, mscale_a, rhs_a)
+    return solve(edge_dst_a, edge_src_a, edge_val_a, req_recv_a, diag_a,
+                 mscale_a, rhs_a)
 
 
 def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,

@@ -281,3 +281,34 @@ def test_rand_round_covers_every_op_class(rng):
         assert out.shape == img.shape and out.dtype == np.uint8
         outs.append(out)
     assert len({o.tobytes() for o in outs}) > 5
+
+
+def test_chunked_onehot_paths_match_direct(monkeypatch):
+    """The chunked-over-batch one-hot warp/LUT (the 84x84 fast path) must
+    be bitwise identical to the direct one-hot and to the gather fallback."""
+    import graphlearninglayer_tpu.data.device_aug as da
+
+    rng = np.random.default_rng(5)
+    b, c, p = 20, 3, 1024
+    x = jnp.asarray(rng.integers(0, 256, (b, c, p)).astype(np.int32))
+    src = jnp.asarray(rng.integers(0, p, (b, p)).astype(np.int32))
+    valid = jnp.asarray(rng.random((b, p)) < 0.9)
+    lut = jnp.asarray(rng.integers(0, 256, (b, c, 256)).astype(np.int32))
+
+    direct_w = np.asarray(da._warp(x, src, valid))
+    direct_l = np.asarray(da._apply_lut_planar(x, lut))
+
+    # shrink the budget so the direct path is gated off but a small chunk
+    # still fits -> the chunked path runs
+    monkeypatch.setattr(da, "_MATMUL_MAX_BYTES", 2 * p * p * 8 + 512 * c * p * 8)
+    chunk_w = np.asarray(da._warp(x, src, valid))
+    chunk_l = np.asarray(da._apply_lut_planar(x, lut))
+    np.testing.assert_array_equal(chunk_w, direct_w)
+    np.testing.assert_array_equal(chunk_l, direct_l)
+
+    # gather fallback (budget too small even for one image) also matches
+    monkeypatch.setattr(da, "_MATMUL_MAX_BYTES", 16)
+    np.testing.assert_array_equal(np.asarray(da._warp(x, src, valid)),
+                                  direct_w)
+    np.testing.assert_array_equal(np.asarray(da._apply_lut_planar(x, lut)),
+                                  direct_l)

@@ -103,6 +103,9 @@ def test_edge_shard_plan_zero_cross_shard_refs(rng):
     y_full[labeled_pos, rng.integers(0, l, k_lab)] = 1.0
     plan = build_edge_shard_plan(np.asarray(nbr), np.asarray(d2), y_full,
                                  labeled_pos, nd=1, tau=1e-8)
-    assert plan.slot_nbr.shape[0] == 1
-    # every slot reference is local: ids stay inside [0, n_loc)
-    assert plan.slot_nbr.max() < n
+    assert plan.edge_dst.shape[0] == 1
+    # every edge-source reference is local: ids stay inside [0, n_loc)
+    real = plan.edge_dst[0] < n
+    assert plan.edge_src[0][real].max() < n
+    # destinations arrive sorted (the matvec's segment-sum contract)
+    assert (np.diff(plan.edge_dst[0]) >= 0).all()
