@@ -64,7 +64,7 @@ def stage_plan():
     jax.config.update("jax_num_cpu_devices", 16)
     import jax.numpy as jnp
 
-    from graphlearninglayer_tpu.ops.bsr import kmeans_labels
+    from graphlearninglayer_tpu.ops.bsr import chain_rank, kmeans
     from graphlearninglayer_tpu.parallel import make_mesh
     from graphlearninglayer_tpu.parallel.edge_shard import (
         build_edge_shard_plan, edge_sharded_solve, sharded_knn)
@@ -74,9 +74,11 @@ def stage_plan():
     y_full = np.zeros((N, L), np.float32)
     y_full[np.arange(k_lab), lab[:k_lab]] = 1.0
 
-    # shared cluster permutation (the driver does the same once per eval)
-    labels = np.asarray(kmeans_labels(jnp.asarray(x), 128))
-    perm = np.argsort(labels, kind="stable")
+    # shared cluster permutation, similarity-chained cluster ids (what
+    # edge_sharded_transductive_laplace does once per eval)
+    labels_d, cent_d = kmeans(jnp.asarray(x), 128)
+    key = np.asarray(chain_rank(cent_d))[np.asarray(labels_d)]
+    perm = np.argsort(key, kind="stable")
     x_p = x[perm]
     inv = np.empty(N, np.int64)
     inv[perm] = np.arange(N)
@@ -102,19 +104,28 @@ def stage_plan():
         s = dict(plan.stats)
         qp = np.asarray(s.pop("halo_rows_qp"))
         # exact cross-host bytes per iteration under a contiguous
-        # device->host split (first nd/2 shards = host 0): each (q, p)
-        # pair ships its PADDED hcap*l rows each way
+        # device->host split (first nd/2 shards = host 0): the ring
+        # exchange ships, per device and offset o, cap_o rows to
+        # (p - o) mod nd and receives cap_o from (p + o) mod nd
         half = nd // 2
-        qh = np.arange(nd) // half
-        cross_pairs = (qh[:, None] != qh[None, :])
+        host_of = lambda p: p // half
         itemsize = 4
-        s["cross_pairs"] = int(cross_pairs.sum())
-        s["cross_bytes_per_host_iter"] = int(
-            cross_pairs[:half].sum() * s["hcap"] * L * itemsize * 2)
+        cross = 0
+        for o, cap in s["ring_caps"].items():
+            o = int(o)
+            for p in range(half):            # host 0's devices
+                if host_of((p - o) % nd) != 0:
+                    cross += cap             # send crossing out
+                if host_of((p + o) % nd) != 0:
+                    cross += cap             # receive crossing in
+        s["cross_bytes_per_host_iter"] = int(cross * L * itemsize)
+        # per-device send+receive total (the ICI-side bound)
+        halo_total = sum(int(c) for c in s["ring_caps"].values())
         s["intra_bytes_per_device_iter"] = int(
-            (nd - half) * s["hcap"] * L * itemsize * 2)
+            2 * halo_total * L * itemsize)
         s["real_halo_rows_mean_pair"] = float(qp[~np.eye(nd, dtype=bool)]
                                               .mean())
+        s["halo_rows_qp"] = qp.tolist()   # per-(q,p) demand, for tiering
         s.update(iters=iters, err=float(np.asarray(err)),
                  t_knn_cpu=t_knn, t_plan_host=t_plan, t_solve_cpu=t_solve)
         out[f"nd{nd}"] = s
@@ -125,7 +136,8 @@ def stage_plan():
         np.savez(os.path.join(OUT_DIR, f"plan_arrays_nd{nd}.npz"),
                  edge_dst=plan.edge_dst[0], edge_src=plan.edge_src[0],
                  edge_val=plan.edge_val[0])
-        print(f"nd={nd}: e_cap={s['e_cap']} hcap={s['hcap']} iters={iters} "
+        print(f"nd={nd}: e_cap={s['e_cap']} n_ext={s['n_ext']} "
+              f"ring_caps={s['ring_caps']} iters={iters} "
               f"a2a={s['a2a_bytes_per_device']/1e6:.2f} MB/dev/iter "
               f"cross={s['cross_bytes_per_host_iter']/1e6:.2f} MB/host/iter "
               f"(plan {t_plan:.2f}s, cpu solve {t_solve:.2f}s)")
@@ -152,8 +164,8 @@ def stage_compute():
     results = {}
     for key in ("nd8", "nd16"):
         s = plan[key]
-        n_loc, e_cap, hcap, nd = s["n_loc"], s["e_cap"], s["hcap"], s["nd"]
-        n_ext = n_loc + nd * hcap
+        n_loc, e_cap, nd = s["n_loc"], s["e_cap"], s["nd"]
+        n_ext = s["n_ext"]
         # the REAL shard-0 edge lists from the plan stage (locality intact;
         # the one-time ~10 MB wire transfer sits outside the timed loop)
         arrs = np.load(os.path.join(OUT_DIR,
@@ -162,28 +174,38 @@ def stage_compute():
         edge_src = jnp.asarray(arrs["edge_src"])
         edge_val = jnp.asarray(arrs["edge_val"].astype(np.float32))
 
+        CHAIN = 50   # in-jit matvec chain: amortizes the per-dispatch
+                     # relay floor (~3-40 ms) that a one-matvec-per-call
+                     # probe measures instead of device time (CLAUDE.md:
+                     # trust long-iteration averages only)
+
         @jax.jit
-        def local_matvec(xa):
-            xt = xa.T
-            contrib = edge_val[None] * jnp.take(xt, edge_src, axis=1)
-            out_t = jnp.zeros((L, n_loc + 1), xt.dtype).at[
-                :, edge_dst].add(contrib, indices_are_sorted=True)
-            return out_t[:, :n_loc].T
+        def matvec_chain(xa):
+            def body(_, v):
+                xt = v.T
+                contrib = edge_val[None] * jnp.take(xt, edge_src, axis=1)
+                out_t = jnp.zeros((L, n_loc + 1), xt.dtype).at[
+                    :, edge_dst].add(contrib, indices_are_sorted=True)
+                # re-extend so the loop carry keeps the (n_ext, L) shape
+                return jnp.concatenate(
+                    [out_t[:, :n_loc].T, v[n_loc:] * 0.999], axis=0)
+
+            return jax.lax.fori_loop(0, CHAIN, body, xa)
 
         @jax.jit
         def gen(seed):
             return jax.random.uniform(jax.random.PRNGKey(seed),
                                       (n_ext, L), jnp.float32)
 
-        np.asarray(local_matvec(gen(0)))           # compile
-        iters = 30
+        np.asarray(matvec_chain(gen(0))[:1])       # compile
+        calls = 4
         seed0 = int(time.time_ns() % 2**31)
-        xs = [jax.block_until_ready(gen(seed0 + i)) for i in range(iters)]
+        xs = [jax.block_until_ready(gen(seed0 + i)) for i in range(calls)]
         t0 = time.time()
-        outs = [local_matvec(xv) for xv in xs]
+        outs = [matvec_chain(xv) for xv in xs]
         for o in outs:
             np.asarray(o[:1])
-        dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / (calls * CHAIN)
         results[key] = dict(t_local_matvec=dt, n_loc=n_loc, e_cap=e_cap,
                             n_ext=n_ext)
         print(f"{key}: local matvec {dt*1e3:.3f} ms "

@@ -58,7 +58,8 @@ def main():
     t_sharded = time.perf_counter() - t0
 
     print(f"n={stats['n']} devices={stats['nd']} n_loc={stats['n_loc']} "
-          f"slots/row={stats['S']} halo_cap={stats['hcap']}")
+          f"edges/shard<={stats['e_cap']} n_ext={stats['n_ext']} "
+          f"ring_caps={stats['ring_caps']}")
     print(f"halo_frac={stats['halo_frac']:.4f} "
           f"rows_per_device={stats['rows_per_device']} "
           f"(replicated design: {stats['n']})")

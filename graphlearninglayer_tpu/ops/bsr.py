@@ -45,16 +45,17 @@ import jax.numpy as jnp
 
 from .graph import BatchGraph
 
-__all__ = ["BsrPlan", "BsrMat", "kmeans_labels", "bsr_plan",
-           "bsr_plan_from_perm", "bsr_stats", "build_bsr_mat", "bsr_spmm",
-           "bsr_tile_bytes"]
+__all__ = ["BsrPlan", "BsrMat", "kmeans", "kmeans_labels", "chain_rank",
+           "bsr_plan", "bsr_plan_from_perm", "bsr_stats", "build_bsr_mat",
+           "bsr_spmm", "bsr_tile_bytes"]
 
 
-def kmeans_labels(x: jax.Array, n_clusters: int, n_iter: int = 8) -> jax.Array:
-    """Cluster rows of ``x`` with deterministic Lloyd k-means; (n,) int32 ids.
+def kmeans(x: jax.Array, n_clusters: int, n_iter: int = 8):
+    """Cluster rows of ``x`` with deterministic Lloyd k-means.
 
-    Init = evenly strided rows.  Empty clusters keep their previous centroid.
-    Cost is n_iter (n, d) x (d, C) matmuls — negligible next to the KNN build.
+    Returns ((n,) int32 labels, (C, d) centroids).  Init = evenly strided
+    rows; empty clusters keep their previous centroid.  Cost is n_iter
+    (n, d) x (d, C) matmuls — negligible next to the KNN build.
     """
     n, _ = x.shape
     stride = max(n // n_clusters, 1)
@@ -74,7 +75,45 @@ def kmeans_labels(x: jax.Array, n_clusters: int, n_iter: int = 8) -> jax.Array:
         return new, None
 
     cent, _ = jax.lax.scan(step, cent0, None, length=n_iter)
-    return assign(cent)
+    return assign(cent), cent
+
+
+def kmeans_labels(x: jax.Array, n_clusters: int, n_iter: int = 8) -> jax.Array:
+    """Cluster labels only (see :func:`kmeans`)."""
+    return kmeans(x, n_clusters, n_iter)[0]
+
+
+def chain_rank(cent: jax.Array) -> jax.Array:
+    """Similarity rank of clusters: a greedy nearest-neighbor chain over
+    the centroids, so that clusters with ADJACENT ranks are close in
+    feature space.  Sorting nodes by ``chain_rank(cent)[labels]`` instead
+    of raw (arbitrary) k-means ids keeps same-region subclusters in the
+    same contiguous row range — BSR tiles concentrate near the diagonal
+    and the edge-shard halo shrinks (same-class subclusters with distant
+    raw ids would otherwise land on different shards).
+
+    (C,) int32: rank[c] = position of cluster c along the chain.  Pure
+    device code (lax.scan over C-1 argmin steps on the (C, C) distance
+    matrix — trivial next to the k-means matmuls).
+    """
+    c = cent.shape[0]
+    d2 = (jnp.sum(cent * cent, axis=1)[:, None]
+          + jnp.sum(cent * cent, axis=1)[None, :]
+          - 2.0 * cent @ cent.T)
+    d2 = d2 + jnp.where(jnp.eye(c, dtype=bool), jnp.inf, 0.0)
+
+    def step(carry, _):
+        cur, used = carry
+        row = jnp.where(used, jnp.inf, d2[cur])
+        nxt = jnp.argmin(row).astype(jnp.int32)
+        return (nxt, used.at[nxt].set(True)), nxt
+
+    used0 = jnp.zeros((c,), bool).at[0].set(True)
+    (_, _), seq = jax.lax.scan(step, (jnp.asarray(0, jnp.int32), used0),
+                               None, length=c - 1)
+    order = jnp.concatenate([jnp.zeros((1,), jnp.int32), seq])
+    return jnp.zeros((c,), jnp.int32).at[order].set(
+        jnp.arange(c, dtype=jnp.int32))
 
 
 class BsrPlan(NamedTuple):
@@ -176,11 +215,16 @@ def _finish_plan(g: BatchGraph, perm: jax.Array, block: int) -> BsrPlan:
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def bsr_plan(x: jax.Array, g: BatchGraph, k_lab: int, n_clusters: int,
              block: int) -> BsrPlan:
-    """Cluster-reorder the graph and discover its nonzero block structure."""
+    """Cluster-reorder the graph and discover its nonzero block structure.
+
+    Nodes sort by the similarity-chained cluster rank (not the arbitrary
+    k-means ids): adjacent row ranges stay feature-space coherent, so
+    edges concentrate near the block diagonal."""
     n = g.nbr.shape[0]
-    cluster = kmeans_labels(x, n_clusters)
+    cluster, cent = kmeans(x, n_clusters)
+    key = chain_rank(cent)[cluster]
     unlabeled = (jnp.arange(n, dtype=jnp.int32) >= k_lab).astype(jnp.int32)
-    perm = jnp.argsort(cluster + n_clusters * unlabeled, stable=True)
+    perm = jnp.argsort(key + n_clusters * unlabeled, stable=True)
     return _finish_plan(g, perm.astype(jnp.int32), block)
 
 

@@ -163,9 +163,14 @@ class EdgeShardPlan(NamedTuple):
                halo buffer in peer-major order).
     edge_val:  (nd, E_cap) — coefficient-folded symmetric affinities
                (0 on padding).
-    req_recv:  (nd, nd, Hcap) int32 — req_recv[p, q] = LOCAL row indices on
-               shard p that shard q's halo requests (the all_to_all send
-               gather list).
+    req_send:  tuple of (nd, cap_o) int32 arrays, one per kept ring
+               offset in ``offsets``: req_send[j][p] = LOCAL row indices
+               shard p sends to shard (p - offsets[j]) mod nd each matvec
+               (one ppermute per kept offset).  Under the similarity
+               -chained cluster ordering the halo is ring-local, so the
+               per-offset caps total a small fraction of the old uniform
+               (nd, nd, Hcap) all_to_all padding.
+    offsets:   tuple of kept ring offsets (demand > 0), ascending.
     diag:      (nd, n_loc) — Luu diagonal (degree + tau; 0-degree on
                labeled rows' entries is irrelevant, they are masked).
     mscale:    (nd, n_loc) — Jacobi 1/sqrt(diag) on unlabeled rows, 0 on
@@ -177,7 +182,8 @@ class EdgeShardPlan(NamedTuple):
     edge_dst: np.ndarray
     edge_src: np.ndarray
     edge_val: np.ndarray
-    req_recv: np.ndarray
+    req_send: tuple
+    offsets: tuple
     diag: np.ndarray
     mscale: np.ndarray
     rhs: np.ndarray
@@ -286,31 +292,54 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
         # clusters): remap_flat's branchless pos_in_seg[kpos] gather needs
         # at least one (discarded) row to index
         pos_in_seg = np.zeros(1, np.int64)
-    hmax = int(seg_cnt2.max()) if len(kuniq) else 1
-    # at scale: ~20% headroom then a coarse bucket, so run-to-run jitter
-    # in the halo size does not flip the static shape (a recompile costs
-    # far more than the extra padded halo rows — the ELL/BSR cap policy);
-    # small graphs keep the tight exact bucket (working set stays minimal,
-    # and small-shape recompiles are cheap)
-    if hmax >= 256:
-        hcap = min(_bucket(hmax + hmax // 5, 64), max(n_loc, 64))
-    else:
-        hcap = min(_bucket(hmax, 8), max(n_loc, 8))
+    # ---- ring-distance-tiered halo caps --------------------------------
+    # Per-(q, p) demand grouped by the ring offset o = (p - q) mod nd.
+    # Under the similarity-chained cluster ordering, demand is RING-LOCAL
+    # (measured at 60k/k=50: nonzero only at o = +-1, +-2) — a uniform
+    # per-pair cap (max over ALL pairs) padded the halo 5-10x, and the
+    # matvec cost tracks exactly this extended working set
+    # (benchmarks/probe_comm_model.py).  Each kept offset gets its own
+    # bucketed cap; offsets with zero demand ship nothing.
+    qpairs = seg_cnt2.reshape(nd, nd)
+    demand = np.zeros(nd, np.int64)
+    for o in range(1, nd):
+        demand[o] = qpairs[np.arange(nd), (np.arange(nd) + o) % nd].max()
+    offsets = tuple(int(o) for o in range(1, nd) if demand[o] > 0)
 
-    # reqs[q, p] = sorted global ids q needs from p, padded with the range
-    # MAXIMUM so each row stays sorted (req_recv rows index peer-local
-    # rows positionally; a smaller pad would collide with real requests);
-    # any p-row id is a benign fetch
-    reqs = np.broadcast_to(
-        (np.arange(nd, dtype=np.int64)[None, :, None] + 1) * n_loc - 1,
-        (nd, nd, hcap)).copy()
-    reqs[kq, kp, pos_in_seg] = kid
-    req_recv = (reqs.transpose(1, 0, 2)
-                - (np.arange(nd, dtype=np.int64) * n_loc)[:, None, None]
-                ).astype(np.int32)
+    def _hbucket(v):
+        # ~20% headroom then a coarse bucket, so run-to-run jitter in the
+        # halo size does not flip the static shape; small graphs keep the
+        # tight exact bucket
+        if v >= 256:
+            return min(_bucket(v + v // 5, 64), max(n_loc, 64))
+        return min(_bucket(v, 8), max(n_loc, 8))
+
+    caps = {o: _hbucket(int(demand[o])) for o in offsets}
+    # halo layout: [local rows | seg(o_1) | seg(o_2) | ...] in offset order
+    base_map = np.zeros(nd, np.int64)
+    acc = n_loc
+    for o in offsets:
+        base_map[o] = acc
+        acc += caps[o]
+    n_ext = int(acc)
+
+    # per offset: reqs_o[q] = sorted PEER-LOCAL row ids q needs from
+    # p = (q+o) mod nd, padded with the peer's LAST row id so rows stay
+    # sorted (pads land after all real requests; any peer row id is a
+    # benign fetch).  The send table the solve uses is the same array
+    # re-indexed to the SENDER: req_send_o[p] = reqs_o[(p - o) mod nd].
+    ko = (kp - kq) % nd
+    req_send = []
+    for o in offsets:
+        reqs_o = np.full((nd, caps[o]), n_loc - 1, np.int64)
+        sel = ko == o
+        reqs_o[kq[sel], pos_in_seg[sel]] = kid[sel] - kp[sel] * n_loc
+        req_send.append(
+            reqs_o[(np.arange(nd) - o) % nd].astype(np.int32))
+    req_send = tuple(req_send)
 
     def remap_flat(q_arr, ids):
-        """global ids -> [0, n_loc + nd*hcap) per-entry for shards q_arr.
+        """global ids -> [0, n_ext) per-entry for shards q_arr.
         Branchless (np.where, no boolean fancy-indexing — masked gathers
         were the profile's hot spot): local-entry key lookups land on
         arbitrary kpos values that the where discards (kpos_of of an
@@ -318,7 +347,7 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
         indices into pos_in_seg)."""
         p_of = shard_of(ids)
         kpos = kpos_of[q_arr * n + ids]
-        halo = n_loc + p_of * hcap + pos_in_seg[kpos]
+        halo = base_map[(p_of - q_arr) % nd] + pos_in_seg[kpos]
         return np.where(p_of == q_arr, ids - q_arr * n_loc,
                         halo).astype(np.int32)
 
@@ -352,29 +381,31 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
 
     halo_used = int(len(kuniq))
     itemsize = np.dtype(dtype).itemsize
-    # exact per-(q, p) halo rows actually referenced (seg_cnt2 before the
-    # hcap padding): the real cross-shard traffic, vs the padded static
-    # all_to_all shape the program ships
+    # exact per-(q, p) halo rows actually referenced (seg_cnt2 before any
+    # cap padding): the real cross-shard traffic, vs the padded static
+    # ring-exchange shapes the program ships
     halo_rows_qp = seg_cnt2.reshape(nd, nd)
-    stats = dict(n=n, nd=nd, n_loc=n_loc, e_cap=e_cap, hcap=hcap,
+    halo_total = n_ext - n_loc
+    stats = dict(n=n, nd=nd, n_loc=n_loc, e_cap=e_cap, n_ext=n_ext,
+                 ring_caps={int(o): int(caps[o]) for o in offsets},
                  halo_used=halo_used,
                  halo_frac=halo_used / max(nd * n, 1),
                  # per-matvec working set (rows touched per device) vs the
                  # replicated all-gather design's n rows
-                 rows_per_device=n_loc + nd * hcap,
+                 rows_per_device=n_ext,
                  sharded_bytes=int(edge_dst[0].nbytes + edge_src[0].nbytes
                                    + edge_val[0].nbytes
-                                   + (n_loc + nd * hcap) * l * itemsize),
+                                   + n_ext * l * itemsize),
                  replicated_bytes=int(edge_dst.nbytes + edge_src.nbytes
                                       + edge_val.nbytes
                                       + n * l * itemsize),
                  # ---- per-CG-iteration communication volume (one matvec
                  # per iteration; the two psum reductions move (l,) scalars
-                 # and are negligible).  The all_to_all ships the PADDED
-                 # (nd, hcap, l) buffer each way per device:
-                 a2a_bytes_per_device=int(nd * hcap * l * itemsize),
+                 # and are negligible).  Each device SENDS (and receives)
+                 # the padded ring segments:
+                 a2a_bytes_per_device=int(halo_total * l * itemsize),
                  # real (unpadded) halo rows needed per device, and the max
-                 # over (q, p) pairs that sized hcap
+                 # over (q, p) pairs
                  halo_rows_max_pair=int(halo_rows_qp.max())
                  if len(kuniq) else 0,
                  halo_rows_qp=halo_rows_qp.tolist(),
@@ -382,9 +413,8 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
                  # streamed (ids + values) + iterate gather
                  matvec_bytes_per_device=int(
                      edge_dst[0].nbytes + edge_src[0].nbytes
-                     + edge_val[0].nbytes
-                     + (n_loc + nd * hcap) * l * itemsize))
-    return EdgeShardPlan(edge_dst, edge_src, edge_val, req_recv,
+                     + edge_val[0].nbytes + n_ext * l * itemsize))
+    return EdgeShardPlan(edge_dst, edge_src, edge_val, req_send, offsets,
                          diag.reshape(nd, n_loc).astype(dtype),
                          mscale.reshape(nd, n_loc).astype(dtype),
                          rhs.reshape(nd, n_loc, l).astype(dtype), stats)
@@ -416,21 +446,21 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
         gather_out = False
     out, iters, err = _edge_solve_impl(
         conv(plan.edge_dst), conv(plan.edge_src), conv(plan.edge_val),
-        conv(plan.req_recv), conv(plan.diag), conv(plan.mscale),
-        conv(plan.rhs), mesh=mesh, axis=axis, tol=float(tol),
+        tuple(conv(r) for r in plan.req_send), conv(plan.diag),
+        conv(plan.mscale), conv(plan.rhs), mesh=mesh, axis=axis,
+        offsets=tuple(plan.offsets), tol=float(tol),
         max_iter=int(max_iter), gather_out=gather_out)
     return jnp.reshape(out, (nd * n_loc, l)), iters, err
 
 
 # Module-level jitted impl — see _sharded_knn_impl for why (per-call jitted
 # closures retrace every invocation).
-@partial(jax.jit, static_argnames=("mesh", "axis", "tol", "max_iter",
-                                   "gather_out"))
-def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_recv_a,
+@partial(jax.jit, static_argnames=("mesh", "axis", "offsets", "tol",
+                                   "max_iter", "gather_out"))
+def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_send_a,
                      diag_a, mscale_a, rhs_a, *,
-                     mesh, axis, tol, max_iter, gather_out=False):
+                     mesh, axis, offsets, tol, max_iter, gather_out=False):
     nd, n_loc = diag_a.shape
-    hcap = req_recv_a.shape[2]
     l = rhs_a.shape[2]
 
     spec3 = P(axis, None, None)
@@ -438,27 +468,33 @@ def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_recv_a,
     out_spec = P(None, None, None) if gather_out else spec3
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec2, spec2, spec2, spec3, spec2, spec2, spec3),
+             in_specs=(spec2, spec2, spec2,
+                       tuple(spec2 for _ in offsets), spec2, spec2, spec3),
              out_specs=(out_spec, P(), P()),
              **({"check_vma": False} if gather_out else {}))
-    def solve(edge_dst, edge_src, edge_val, req_recv, diag, mscale, rhs):
+    def solve(edge_dst, edge_src, edge_val, req_send, diag, mscale, rhs):
         edge_dst, edge_src, edge_val = (edge_dst[0], edge_src[0],
                                         edge_val[0])
-        req_recv = req_recv[0]
+        req_send = tuple(r[0] for r in req_send)
         diag, mscale, b = diag[0], mscale[0], rhs[0]
         unlab = mscale > 0
+        perms = [[(p, (p - o) % nd) for p in range(nd)] for o in offsets]
 
         def spmm(p_loc):
-            # halo refresh: send each peer the rows it requested, receive
-            # the rows we requested — one all_to_all on (nd, hcap, l)
-            send = p_loc[req_recv]                       # (nd, hcap, l)
-            halo = jax.lax.all_to_all(send, axis, 0, 0)  # (nd, hcap, l)
-            xa = jnp.concatenate([p_loc, halo.reshape(nd * hcap, l)], axis=0)
+            # ring-tiered halo refresh: for each kept offset o, send the
+            # rows peer (p - o) requested with one ppermute — total halo
+            # bytes are the small per-offset caps, not a uniform
+            # (nd, hcap) all_to_all pad (demand is ring-local under the
+            # chained cluster ordering)
+            parts = [p_loc]
+            for req, perm in zip(req_send, perms):
+                parts.append(jax.lax.ppermute(p_loc[req], axis, perm))
+            xa = jnp.concatenate(parts, axis=0)
             # transposed (l, E) layout + sorted segment-sum — the fast
             # single-chip 'sorted' matvec form (ops/transductive.py):
             # minor dims stay wide and fully packed; the narrow-lane
             # (n_loc, S) slot-gather form measured ~10x slower per edge
-            xt = xa.T                                    # (l, n_loc+halo)
+            xt = xa.T                                    # (l, n_ext)
             contrib = edge_val[None] * jnp.take(xt, edge_src, axis=1)
             out_t = jnp.zeros((l, n_loc + 1), xt.dtype).at[:, edge_dst].add(
                 contrib, indices_are_sorted=True)        # pad row = n_loc
@@ -506,7 +542,7 @@ def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_recv_a,
             out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
         return out, iters, err
 
-    return solve(edge_dst_a, edge_src_a, edge_val_a, req_recv_a, diag_a,
+    return solve(edge_dst_a, edge_src_a, edge_val_a, req_send_a, diag_a,
                  mscale_a, rhs_a)
 
 
@@ -552,13 +588,19 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
                 [x, jnp.broadcast_to(fill, (pad, x.shape[1]))], axis=0)
     n = x.shape[0]
 
-    # 1. cluster permutation (stable sort by k-means label -> contiguous
-    #    chunks are coherent regions; halo shrinks accordingly)
+    # 1. cluster permutation: stable sort by the similarity-CHAINED
+    #    cluster rank (ops/bsr.chain_rank) -> contiguous chunks are
+    #    coherent regions AND adjacent chunks are neighbors in feature
+    #    space, so same-region subclusters land on the same shard and the
+    #    halo shrinks (arbitrary k-means ids scatter them across shards)
     if n_clusters is None:
         n_clusters = max(nd, min(256, n // 512))
-    labels = np.asarray(jax.device_get(
-        kmeans_labels(jnp.asarray(x) if multiproc else x, n_clusters)))
-    perm = np.argsort(labels, kind="stable").astype(np.int64)
+    from ..ops.bsr import chain_rank, kmeans
+    labels_d, cent_d = kmeans(jnp.asarray(x) if multiproc else x,
+                              n_clusters)
+    key = np.asarray(jax.device_get(chain_rank(cent_d)))[
+        np.asarray(jax.device_get(labels_d))]
+    perm = np.argsort(key, kind="stable").astype(np.int64)
     if multiproc:
         x_p = _globalize(mesh, P(), np.ascontiguousarray(x[perm]))
     else:
