@@ -40,8 +40,10 @@ import time
 import numpy as np
 
 OUT_DIR = os.path.join(os.path.dirname(__file__), "comm_model_r4")
-N, K, L, D = 60_000, 50, 10, 128
+N = int(os.environ.get("GLL_COMM_N", 60_000))
+K, L, D = 50, 10, 128
 SEED = 7
+_SUF = "" if N == 60_000 else f"_{N}"
 
 
 def _features():
@@ -133,7 +135,7 @@ def stage_plan():
         # shard-0 plan arrays for the TPU compute stage: the REAL edge
         # lists carry the cluster permutation's locality (a uniform-random
         # src probe is pessimistic about the gather's cache behavior)
-        np.savez(os.path.join(OUT_DIR, f"plan_arrays_nd{nd}.npz"),
+        np.savez(os.path.join(OUT_DIR, f"plan_arrays{_SUF}_nd{nd}.npz"),
                  edge_dst=plan.edge_dst[0], edge_src=plan.edge_src[0],
                  edge_val=plan.edge_val[0])
         print(f"nd={nd}: e_cap={s['e_cap']} n_ext={s['n_ext']} "
@@ -142,7 +144,7 @@ def stage_plan():
               f"cross={s['cross_bytes_per_host_iter']/1e6:.2f} MB/host/iter "
               f"(plan {t_plan:.2f}s, cpu solve {t_solve:.2f}s)")
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, "plan.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"plan{_SUF}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
@@ -158,7 +160,7 @@ def stage_compute():
     import jax
     import jax.numpy as jnp
 
-    with open(os.path.join(OUT_DIR, "plan.json")) as f:
+    with open(os.path.join(OUT_DIR, f"plan{_SUF}.json")) as f:
         plan = json.load(f)
 
     results = {}
@@ -169,7 +171,7 @@ def stage_compute():
         # the REAL shard-0 edge lists from the plan stage (locality intact;
         # the one-time ~10 MB wire transfer sits outside the timed loop)
         arrs = np.load(os.path.join(OUT_DIR,
-                                    f"plan_arrays_nd{s['nd']}.npz"))
+                                    f"plan_arrays{_SUF}_nd{s['nd']}.npz"))
         edge_dst = jnp.asarray(arrs["edge_dst"])
         edge_src = jnp.asarray(arrs["edge_src"])
         edge_val = jnp.asarray(arrs["edge_val"].astype(np.float32))
@@ -210,14 +212,14 @@ def stage_compute():
                             n_ext=n_ext)
         print(f"{key}: local matvec {dt*1e3:.3f} ms "
               f"({e_cap} edges, {n_ext} ext rows)")
-    with open(os.path.join(OUT_DIR, "compute.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"compute{_SUF}.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 
 def stage_model():
-    with open(os.path.join(OUT_DIR, "plan.json")) as f:
+    with open(os.path.join(OUT_DIR, f"plan{_SUF}.json")) as f:
         plan = json.load(f)
-    with open(os.path.join(OUT_DIR, "compute.json")) as f:
+    with open(os.path.join(OUT_DIR, f"compute{_SUF}.json")) as f:
         comp = json.load(f)
 
     e_total = 2 * plan["n"] * plan["k"]      # directed edges both halves
@@ -243,7 +245,7 @@ def stage_model():
                rows=[dict(bw_ici=a, bw_dcn=b, t1=c, t2=d, eff=e,
                           edges_s_1h=f_, edges_s_2h=g)
                      for a, b, c, d, e, f_, g in rows])
-    with open(os.path.join(OUT_DIR, "model.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"model{_SUF}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
