@@ -119,27 +119,40 @@ def main():
         hist = np.asarray(jax.device_get(bsr_stats(plan, blk)), np.int64)
         cum = np.cumsum(hist)
         smax = -(-int(np.searchsorted(cum, 0.99 * cum[-1]) + 1) // 8) * 8
-        ovf = int(cum[-1] - cum[smax - 1])
+        # honor the library's tile-memory budget: at 120k+ an uncapped
+        # 99%-coverage smax materializes >5 GiB of tiles and OOMs this
+        # micro-section (the library path declines/falls back instead)
+        budget_slots = (4 << 30) // ((-(-n // blk)) * blk * blk * 4)
+        smax = max(min(smax, budget_slots // 8 * 8), 8)
+        ovf = int(cum[-1] - cum[min(smax, len(cum)) - 1])
         ovf_cap = 0 if ovf == 0 else -(-ovf // 4096) * 4096
-        wp, _ = edge_weights(plan.gp)
-        build = jax.jit(build_bsr_mat, static_argnums=(2, 3, 4))
-        mat = build(plan, wp, blk, smax, ovf_cap)
-        _ = np.asarray(mat.colblocks)
-        print(f"bsr block={blk} smax={smax} overflow={ovf} tiles="
-              f"{bsr_tile_bytes(n, blk, smax)/2**30:.2f} GiB", flush=True)
-        # phase breakdown (warm): plan (kmeans+permute+structure) and build
-        xf = jnp.asarray(x + 1e-4 * salt.normal(size=x.shape)
-                         .astype(np.float32))        # never-seen input
-        t0 = time.perf_counter()
-        plan2 = bsr_plan(xf, g, k_lab, max(8, min(512, n // 1024)), blk)
-        _ = np.asarray(plan2.max_blocks)
-        t1 = time.perf_counter()
-        mat2 = build(plan2, wp, blk, smax, ovf_cap)
-        _ = np.asarray(mat2.colblocks)
-        t2 = time.perf_counter()
-        print(f"bsr phases: plan {t1-t0:.3f}s  build {t2-t1:.3f}s",
-              flush=True)
-        fns["bsr"] = (jax.jit(bsr_spmm, static_argnums=(2,)), (mat,))
+        if ovf > 0.25 * cum[-1]:
+            print(f"bsr micro-section skipped: overflow {ovf} > 25% of "
+                  f"{int(cum[-1])} at budget-capped smax={smax} (the "
+                  "solve path falls back to 'sorted' here)", flush=True)
+        else:
+            wp, _ = edge_weights(plan.gp)
+            build = jax.jit(build_bsr_mat, static_argnums=(2, 3, 4))
+            mat = build(plan, wp, blk, smax, ovf_cap)
+            _ = np.asarray(mat.colblocks)
+            print(f"bsr block={blk} smax={smax} overflow={ovf} tiles="
+                  f"{bsr_tile_bytes(n, blk, smax)/2**30:.2f} GiB",
+                  flush=True)
+            # phase breakdown (warm): plan (kmeans+permute+structure),
+            # then build
+            xf = jnp.asarray(x + 1e-4 * salt.normal(size=x.shape)
+                             .astype(np.float32))    # never-seen input
+            t0 = time.perf_counter()
+            plan2 = bsr_plan(xf, g, k_lab, max(8, min(512, n // 1024)),
+                             blk)
+            _ = np.asarray(plan2.max_blocks)
+            t1 = time.perf_counter()
+            mat2 = build(plan2, wp, blk, smax, ovf_cap)
+            _ = np.asarray(mat2.colblocks)
+            t2 = time.perf_counter()
+            print(f"bsr phases: plan {t1-t0:.3f}s  build {t2-t1:.3f}s",
+                  flush=True)
+            fns["bsr"] = (jax.jit(bsr_spmm, static_argnums=(2,)), (mat,))
 
     reps = 24
     vecs = [jnp.asarray(rng.normal(size=(n, l)).astype(np.float32))
