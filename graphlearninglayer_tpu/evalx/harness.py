@@ -235,7 +235,7 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
               f"{mesh.shape['graph']} devices]")
         u, cg_iters, cg_err = edge_sharded_transductive_laplace(
             mesh, all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,
-            return_info=True)
+            return_info=True, cache=cache)
     else:
         import os
 

@@ -84,10 +84,15 @@ class EvalGraphCache:
     def clear(self):
         self.n = None
         self.k_lab = None
-        self.perm = None          # device (n,) int32
+        self.perm = None          # device (n,) int32 (BSR plan)
         self.smax = None          # sticky static slot budget
         self.ovf_cap = None       # sticky static overflow budget
         self.prev_pred = None     # device (n - k_lab, l)
+        # edge-sharded eval path (parallel/edge_shard.py): its own cluster
+        # permutation (host (n_padded,) int64, valid for a fixed shard
+        # count) — reusing it skips the per-eval k-means + chain ordering
+        self.shard_perm = None
+        self.shard_nd = None
 
     def matches(self, n: int, k_lab: int) -> bool:
         return self.n == n and self.k_lab == k_lab

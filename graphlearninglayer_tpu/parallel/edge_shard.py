@@ -421,15 +421,19 @@ def build_edge_shard_plan(nbr: np.ndarray, dist2: np.ndarray,
 
 
 def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
-                       tol: float = 1e-10, max_iter: int = 100_000):
+                       tol: float = 1e-10, max_iter: int = 100_000,
+                       x0=None):
     """Halo-exchange CG over the per-shard plan.
 
     Returns (M z of shape (n, l), iters, final_err) — same convergence
     surface as ``stable_conjgrad(return_info=True)`` so callers can warn on
     non-convergence like the single-device path.  ``stable_conjgrad``
     semantics and the reference's max_iter=1e5 default (GLL.py:247-276);
-    every matvec refreshes the halo with one all_to_all and reduces locally
-    over the slot lists.
+    every matvec refreshes the halo with ring-tiered ppermutes and reduces
+    locally over the sorted edge lists.
+
+    ``x0``: optional warm start in PREDICTION space, (nd, n_loc, l) in the
+    plan's permuted row layout — the solve still runs to ``tol``.
     """
     nd, n_loc = plan.diag.shape
     l = plan.rhs.shape[2]
@@ -447,7 +451,9 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
     out, iters, err = _edge_solve_impl(
         conv(plan.edge_dst), conv(plan.edge_src), conv(plan.edge_val),
         tuple(conv(r) for r in plan.req_send), conv(plan.diag),
-        conv(plan.mscale), conv(plan.rhs), mesh=mesh, axis=axis,
+        conv(plan.mscale), conv(plan.rhs),
+        None if x0 is None else conv(np.asarray(x0, plan.rhs.dtype)),
+        mesh=mesh, axis=axis,
         offsets=tuple(plan.offsets), tol=float(tol),
         max_iter=int(max_iter), gather_out=gather_out)
     return jnp.reshape(out, (nd * n_loc, l)), iters, err
@@ -458,7 +464,7 @@ def edge_sharded_solve(mesh: Mesh, plan: EdgeShardPlan, axis: str = "graph",
 @partial(jax.jit, static_argnames=("mesh", "axis", "offsets", "tol",
                                    "max_iter", "gather_out"))
 def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_send_a,
-                     diag_a, mscale_a, rhs_a, *,
+                     diag_a, mscale_a, rhs_a, x0_a=None, *,
                      mesh, axis, offsets, tol, max_iter, gather_out=False):
     nd, n_loc = diag_a.shape
     l = rhs_a.shape[2]
@@ -469,10 +475,12 @@ def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_send_a,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(spec2, spec2, spec2,
-                       tuple(spec2 for _ in offsets), spec2, spec2, spec3),
+                       tuple(spec2 for _ in offsets), spec2, spec2, spec3,
+                       None if x0_a is None else spec3),
              out_specs=(out_spec, P(), P()),
              **({"check_vma": False} if gather_out else {}))
-    def solve(edge_dst, edge_src, edge_val, req_send, diag, mscale, rhs):
+    def solve(edge_dst, edge_src, edge_val, req_send, diag, mscale, rhs,
+              x0_in):
         edge_dst, edge_src, edge_val = (edge_dst[0], edge_src[0],
                                         edge_val[0])
         req_send = tuple(r[0] for r in req_send)
@@ -510,8 +518,15 @@ def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_send_a,
             return jax.lax.psum(jnp.sum(vv, axis=0), axis)
 
         tol_a = jnp.asarray(tol, b.dtype)
-        x0 = jnp.zeros_like(b)
-        r0 = b - matvec(x0)
+        if x0_in is None:
+            z0 = jnp.zeros_like(b)
+        else:
+            # warm start arrives in PREDICTION space (pred = M z):
+            # z = pred / mscale on unlabeled rows, 0 on labeled/padding
+            z0 = jnp.where(unlab[:, None],
+                           x0_in[0] / jnp.where(unlab, mscale, 1.0)[:, None],
+                           0.0).astype(b.dtype)
+        r0 = b - matvec(z0)
         rs0 = gsum(r0 * r0)
 
         def cond(state):
@@ -536,14 +551,14 @@ def _edge_solve_impl(edge_dst_a, edge_src_a, edge_val_a, req_send_a,
 
         err0 = jnp.sqrt(jnp.max(rs0))
         z, _, _, _, err, iters = jax.lax.while_loop(
-            cond, body, (x0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
+            cond, body, (z0, r0, r0, rs0, err0, jnp.asarray(0, jnp.int32)))
         out = (mscale[:, None] * z)[None]
         if gather_out:   # replicate the solution across the axis
             out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
         return out, iters, err
 
     return solve(edge_dst_a, edge_src_a, edge_val_a, req_send_a, diag_a,
-                 mscale_a, rhs_a)
+                 mscale_a, rhs_a, x0_a)
 
 
 def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
@@ -552,7 +567,8 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
                                       knn_block: int = 2048,
                                       n_clusters: int | None = None,
                                       return_stats: bool = False,
-                                      return_info: bool = False):
+                                      return_info: bool = False,
+                                      cache=None):
     """Cluster-permuted, edge-partitioned transductive Laplace learning.
 
     Numerically equivalent to ``ops.transductive.transductive_laplace``
@@ -592,15 +608,26 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     #    cluster rank (ops/bsr.chain_rank) -> contiguous chunks are
     #    coherent regions AND adjacent chunks are neighbors in feature
     #    space, so same-region subclusters land on the same shard and the
-    #    halo shrinks (arbitrary k-means ids scatter them across shards)
-    if n_clusters is None:
-        n_clusters = max(nd, min(256, n // 512))
-    from ..ops.bsr import chain_rank, kmeans
-    labels_d, cent_d = kmeans(jnp.asarray(x) if multiproc else x,
-                              n_clusters)
-    key = np.asarray(jax.device_get(chain_rank(cent_d)))[
-        np.asarray(jax.device_get(labels_d))]
-    perm = np.argsort(key, kind="stable").astype(np.int64)
+    #    halo shrinks (arbitrary k-means ids scatter them across shards).
+    #    Across a run's eval epochs the cache reuses the previous
+    #    permutation (features drift slowly; any permutation is EXACT —
+    #    only the halo size degrades with staleness, and the bucketed caps
+    #    absorb that) — the k-means + chain pass is skipped entirely.
+    cache_ok = (cache is not None and cache.matches(n_real, k_lab)
+                and cache.shard_perm is not None
+                and cache.shard_nd == nd
+                and len(cache.shard_perm) == n)
+    if cache_ok:
+        perm = cache.shard_perm
+    else:
+        if n_clusters is None:
+            n_clusters = max(nd, min(256, n // 512))
+        from ..ops.bsr import chain_rank, kmeans
+        labels_d, cent_d = kmeans(jnp.asarray(x) if multiproc else x,
+                                  n_clusters)
+        key = np.asarray(jax.device_get(chain_rank(cent_d)))[
+            np.asarray(jax.device_get(labels_d))]
+        perm = np.argsort(key, kind="stable").astype(np.int64)
     if multiproc:
         x_p = _globalize(mesh, P(), np.ascontiguousarray(x[perm]))
     else:
@@ -625,8 +652,17 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     plan = build_edge_shard_plan(nbr, dist2, y_full_rows, inv[:k_lab], nd,
                                  tau, epsilon, dtype=np.dtype(x_p.dtype))
 
-    # 4. halo-exchange CG
-    out, iters, err = edge_sharded_solve(mesh, plan, axis)
+    # 4. halo-exchange CG (warm-started from the cached previous eval's
+    #    solution when available — still solved to tol, result unchanged)
+    x0 = None
+    if cache is not None:
+        prev = cache.warm_start(n_real, k_lab, y_np.shape[1])
+        if prev is not None:
+            x0_full = np.zeros((n, y_np.shape[1]), np.float64)
+            x0_full[k_lab:n_real] = np.asarray(jax.device_get(prev))
+            n_loc = n // nd
+            x0 = x0_full[perm].reshape(nd, n_loc, y_np.shape[1])
+    out, iters, err = edge_sharded_solve(mesh, plan, axis, x0=x0)
     out = np.asarray(jax.device_get(out))          # (n, l), permuted rows
     if float(np.asarray(err)) > 1e-10:             # reference GLL.py:273-274
         print(f"max iter reached:  {int(iters)}  iters")
@@ -634,6 +670,10 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
     # unpermute; drop labeled + dummy rows
     unperm = out[inv]                              # original row order
     pred = unperm[k_lab:n_real]
+    if cache is not None:
+        cache.n, cache.k_lab = n_real, k_lab
+        cache.shard_perm, cache.shard_nd = perm, nd
+        cache.prev_pred = jnp.asarray(pred)
     if return_stats:
         return jnp.asarray(pred), plan.stats
     if return_info:  # (pred, cg_iters, final_err) — observability parity

@@ -109,3 +109,41 @@ def test_edge_shard_plan_zero_cross_shard_refs(rng):
     assert plan.edge_src[0][real].max() < n
     # destinations arrive sorted (the matvec's segment-sum contract)
     assert (np.diff(plan.edge_dst[0]) >= 0).all()
+
+
+def test_edge_sharded_cache_reuses_perm_and_warm_starts(monkeypatch):
+    """Second sharded eval with a shared EvalGraphCache: the k-means +
+    chain permutation pass is skipped, CG warm-starts from the previous
+    solution (fewer iterations on identical features), and the result
+    still matches a cache-free solve."""
+    import graphlearninglayer_tpu.ops.bsr as bsr_mod
+    from graphlearninglayer_tpu.ops import EvalGraphCache
+    from graphlearninglayer_tpu.parallel import make_mesh
+    from graphlearninglayer_tpu.parallel.edge_shard import (
+        edge_sharded_transductive_laplace)
+
+    rng = np.random.default_rng(17)
+    n, d, l, k_lab = 512, 8, 4, 32
+    centers = rng.normal(size=(l, d)) * 3.0
+    lab = rng.integers(0, l, n)
+    x = jnp.asarray(centers[lab] + 0.3 * rng.normal(size=(n, d)))
+    y = jnp.asarray(np.eye(l)[lab[:k_lab]])
+    mesh = make_mesh(4, axes=("graph",))
+
+    kmeans_calls = []
+    orig = bsr_mod.kmeans
+    monkeypatch.setattr(bsr_mod, "kmeans",
+                        lambda *a, **k: kmeans_calls.append(1)
+                        or orig(*a, **k))
+
+    cache = EvalGraphCache()
+    p1, it1, _ = edge_sharded_transductive_laplace(
+        mesh, x, y, knn_num=8, return_info=True, cache=cache)
+    assert kmeans_calls == [1]
+    p2, it2, _ = edge_sharded_transductive_laplace(
+        mesh, x, y, knn_num=8, return_info=True, cache=cache)
+    assert kmeans_calls == [1]          # permutation pass skipped
+    assert it2 <= max(it1 // 4, 2)      # warm start on identical features
+    ref = edge_sharded_transductive_laplace(mesh, x, y, knn_num=8)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)
