@@ -246,7 +246,10 @@ def test_gl_transductive(model, state: TrainState, base_images, base_labels,
             snap = np.asarray(jax.device_get(all_f))
             seq = getattr(test_gl_transductive, "_dbg_seq", 0)
             test_gl_transductive._dbg_seq = seq + 1
-            np.save(f"/tmp/gll_eval_debug_{seq}.npy", snap)
+            # ring of 2 snapshots (current + previous): a 60kx512 f32
+            # snapshot is ~120 MB — an unbounded sequence would fill /tmp
+            # over a long run
+            np.save(f"/tmp/gll_eval_debug_{seq % 2}.npy", snap)
             try:
                 u, cg_iters, cg_err = transductive_laplace(
                     all_f, y, knn_num=knn_num, epsilon=epsilon, tau=tau,

@@ -388,6 +388,14 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
             if os.environ.get("GLL_EVAL_DEBUG"):
                 import traceback
                 traceback.print_exc()
+            # _transductive_bsr commits smax/ovf_cap/perm to the cache
+            # before this guard fires; dropping them here stops the failing
+            # 'sticky' budgets from being retried (and re-failing, paying a
+            # compile + fallback) on every subsequent eval
+            if cache is not None:
+                cache.perm = None
+                cache.smax = None
+                cache.ovf_cap = None
             res = None
         if res is not None:
             return _done(res)

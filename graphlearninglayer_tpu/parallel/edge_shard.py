@@ -17,8 +17,10 @@ all-gathers the full (n, l) iterate every matvec), here
 
 Layout pipeline:
 
-  1. k-means cluster permutation (device, ops/bsr.kmeans_labels) so
-     contiguous row chunks are geographically coherent -> halo stays small.
+  1. cluster permutation (device k-means + chain_rank ordering of the
+     clusters, computed locally in the plan stage) so contiguous row
+     chunks are geographically coherent -> halo stays small, and adjacent
+     shards hold adjacent clusters -> halo traffic rides neighbor links.
   2. sharded exact KNN (shard_map: queries row-sharded, corpus replicated —
      features are O(n d), tiny next to the O(n^2) panel work).
   3. host-side plan (numpy, one-time per graph): symmetrization
@@ -45,8 +47,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-
-from ..ops.bsr import kmeans_labels
 
 __all__ = ["sharded_knn", "edge_sharded_transductive_laplace",
            "EdgeShardPlan", "build_edge_shard_plan"]

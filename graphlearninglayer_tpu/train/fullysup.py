@@ -175,6 +175,11 @@ def run_training(opt) -> dict:
         state, ckpt_epoch = restore_checkpoint(opt.cp_load_path, state)
         print(f"Successfully loaded checkpoint from {opt.cp_load_path} "
               f"(epoch {ckpt_epoch})")
+        if ckpt_epoch and ckpt_epoch > 0 and start_epoch == 0:
+            print(f"note: checkpoint is at epoch {ckpt_epoch} but "
+                  "--start_epochs is 0 — weights are warmed and the epoch "
+                  f"loop restarts at 1; to RESUME pass --start_epochs "
+                  f"{ckpt_epoch} as well (reference cli.py:36-37,45-46)")
 
     # NOTE the tau convention: FullySup passes --temp as tau to the GL op
     # (reference FullySup.py:156) while the transductive eval uses --tau
