@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import Transform, load_dataset, select_base_indices
+from ..data.datasets import parse_synth_overrides
 from ..train.adversarial_driver import (DATASET_CONFIGS, build_network,
                                         _make_schedule, _make_tx)
 from ..train.trainer import TrainState, _apply, create_train_state
@@ -68,10 +69,11 @@ def _save_example_grid(clean, adv, path):
 def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
         ckpt_dir: str = "models", batch_size: int | None = None,
         sweep=None, cw_iters: int = 100, seed: int = 1,
-        save_images: bool = True) -> dict:
+        save_images: bool = True, synth: dict | None = None) -> dict:
     cfg = DATASET_CONFIGS[dataset]
     spec = load_dataset("fashion_mnist" if dataset == "fashionmnist"
-                        else dataset, allow_synthetic_fallback=True)
+                        else dataset, allow_synthetic_fallback=True,
+                        **(synth or {}))
     tf_name = ("fashion_mnist" if dataset == "fashionmnist" else
                dataset if dataset in ("mnist", "cifar10") else "synthetic")
     tf = Transform(tf_name, "eval")
@@ -184,14 +186,20 @@ def run(attack: str, model_type: str, rob_or_nat: str, dataset: str,
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    # trailing key=value tokens select the hardened synthetic generator —
+    # must match the adversarial_driver invocation that trained the ckpt
+    synth = parse_synth_overrides([a for a in argv if "=" in a])
+    argv = [a for a in argv if "=" not in a]
     if len(argv) < 4:
         raise SystemExit("usage: driver {fgsm|ifgsm|cw} {gl|mlp|both} "
-                         "{robust|natural} {dataset} [sweep points...]")
+                         "{robust|natural} {dataset} [sweep points...] "
+                         "[synth_sep=F n_train=N ...]")
     attack, model_type, rob_or_nat, dataset = argv[:4]
     if attack not in ("fgsm", "ifgsm", "cw"):
         raise ValueError("attack must be fgsm, ifgsm, or cw")
     sweep = [float(p) for p in argv[4:]] or None
-    results = run(attack, model_type, rob_or_nat, dataset, sweep=sweep)
+    results = run(attack, model_type, rob_or_nat, dataset, sweep=sweep,
+                  synth=synth)
     print(json.dumps(results))
     return results
 

@@ -79,6 +79,20 @@ def parse_option(argv=None):
                         help="train-set size when the synthetic dataset (or "
                              "a synthetic fallback) is used")
     parser.add_argument("--synth_n_test", type=int, default=1024)
+    parser.add_argument("--synth_sep", type=float, default=None,
+                        help="enable the HARD synthetic generator (latent "
+                             "Gaussian mixture) with this class-separation "
+                             "scale; smaller = more class overlap. Unset = "
+                             "legacy clean generator")
+    parser.add_argument("--synth_modes", type=int, default=3,
+                        help="intra-class modes of the hard synthetic "
+                             "generator (with --synth_sep)")
+    parser.add_argument("--synth_label_noise", type=float, default=0.0,
+                        help="fraction of synthetic TRAIN labels flipped "
+                             "to a random other class")
+    parser.add_argument("--synth_noise", type=float, default=0.35,
+                        help="pixel-noise std of the hard synthetic "
+                             "generator (with --synth_sep)")
     parser.add_argument("--data_folder", type=str, default=None)
     parser.add_argument("--size", type=int, default=32)
     parser.add_argument("--augment_type_sup", type=str, default="strong",

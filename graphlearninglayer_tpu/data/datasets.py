@@ -218,13 +218,105 @@ def _load_miniimagenet() -> DatasetSpec | None:
     return None
 
 
+def _smooth_basis(rng, latent_dim, h, w, c):
+    """Orthonormal basis of smooth low-frequency spatial patterns.
+
+    Each basis vector is a random sin*cos product (same family as the
+    legacy class templates), Gram-Schmidt orthonormalized over the
+    flattened pixel space so the latent code is linearly recoverable from
+    the image — difficulty is then governed purely by the latent-space
+    class geometry, not by an accidental rendering degeneracy.
+    """
+    vecs = []
+    while len(vecs) < latent_dim:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        t = np.sin(2 * np.pi * fx * xx / w + px) * np.cos(
+            2 * np.pi * fy * yy / h + py)
+        v = np.repeat(t[:, :, None], c, axis=2).ravel()
+        for u in vecs:
+            v = v - (v @ u) * u
+        nrm = float(np.linalg.norm(v))
+        if nrm < 1e-3:          # degenerate draw (parallel to span) — retry
+            continue
+        vecs.append((v / nrm).astype(np.float32))
+    return np.stack(vecs)       # (latent_dim, h*w*c)
+
+
 def synthetic_dataset(num_classes: int = 10, image_shape=(28, 28, 1),
                       n_train: int = 4096, n_test: int = 1024,
-                      seed: int = 0) -> DatasetSpec:
-    """Learnable synthetic image classes: each class is a distinct smooth
-    spatial pattern (random low-frequency template) plus pixel noise."""
+                      seed: int = 0, class_sep: float | None = None,
+                      modes_per_class: int = 3, label_noise: float = 0.0,
+                      noise_std: float = 0.35,
+                      latent_dim: int = 16) -> DatasetSpec:
+    """Learnable synthetic image classes.
+
+    Two generators share this entry point:
+
+    * **legacy** (``class_sep=None``, the default — bit-identical to every
+      prior round): each class is one distinct smooth spatial pattern plus
+      pixel noise.  Cleanly separable — a trained MLP saturates at ~100%,
+      so accuracy comparisons on it are ceiling-limited.
+    * **hard** (``class_sep`` set): a latent Gaussian-mixture-of-modes
+      rendered through an orthonormal smooth-pattern basis, with explicit
+      difficulty knobs so GL-vs-MLP accuracy claims discriminate:
+
+      - ``class_sep`` — distance scale between class centers in the
+        ``latent_dim``-d latent space relative to the unit intra-mode
+        noise; smaller = more class overlap = higher Bayes error.
+      - ``modes_per_class`` — intra-class multimodality: each class is a
+        mixture of this many Gaussian modes (mode offsets at 0.5x the
+        class-center scale), so classes are not linearly separable blobs.
+      - ``label_noise`` — fraction of TRAIN labels flipped to a uniformly
+        random other class (test labels stay clean).
+      - ``noise_std`` — pixel-space noise (SNR knob; also the legacy
+        generator's noise level).
+
+      The rendered signal occupies ~the same uint8 range as the legacy
+      patterns; pixel noise and quantization add latent observation noise
+      on top of the unit intra-mode noise.
+    """
     rng = np.random.default_rng(seed)
     h, w, c = image_shape
+
+    if class_sep is not None:
+        basis = _smooth_basis(rng, latent_dim, h, w, c)  # (D, h*w*c)
+        # per-pixel signal std ~0.22 of the [0,1] range regardless of
+        # geometry: |z| ~ sqrt(D), basis rows are unit-norm over h*w*c px
+        amp = 0.22 * np.sqrt(h * w * c / latent_dim)
+        centers = rng.normal(0, 1, (num_classes, latent_dim))
+        offsets = rng.normal(0, 0.5, (num_classes, modes_per_class,
+                                      latent_dim))
+        mode_mu = class_sep * (centers[:, None, :] + offsets)  # (l, M, D)
+
+        def make(n, seed_off, with_label_noise):
+            r = np.random.default_rng(seed + seed_off)
+            labels = r.integers(0, num_classes, n)
+            modes = r.integers(0, modes_per_class, n)
+            z = mode_mu[labels, modes] + r.normal(0, 1, (n, latent_dim))
+            img = (z.astype(np.float32) @ basis) * amp
+            img = img.reshape(n, h, w, c)
+            # per-sample spatial jitter: nuisance variation for the aug
+            # pipeline, and no two samples are pixel-identical (coincident
+            # inputs collapse to coincident features, whose edges the
+            # graph op drops — reference GLL.py:198 semantics)
+            shifts = r.integers(-2, 3, size=(n, 2))
+            img = np.stack([np.roll(b, tuple(s), axis=(0, 1))
+                            for b, s in zip(img, shifts)])
+            img = img + r.normal(0, noise_std, img.shape).astype(np.float32)
+            img = (img + 1.5) / 3.0
+            if with_label_noise and label_noise > 0:
+                flip = r.random(n) < label_noise
+                labels = np.where(
+                    flip, (labels + r.integers(1, num_classes, n))
+                    % num_classes, labels)
+            return (np.clip(img, 0, 1) * 255).astype(np.uint8), labels
+
+        tri, trl = make(n_train, 1, True)
+        tei, tel = make(n_test, 2, False)
+        return DatasetSpec("synthetic", tri, trl, tei, tel, num_classes)
+
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     templates = []
     for _ in range(num_classes):
@@ -245,13 +337,62 @@ def synthetic_dataset(num_classes: int = 10, image_shape=(28, 28, 1),
         shifts = r.integers(-2, 3, size=(n, 2))
         base = np.stack([np.roll(b, tuple(s), axis=(0, 1))
                          for b, s in zip(base, shifts)])
-        noise = r.normal(0, 0.35, base.shape).astype(np.float32)
+        noise = r.normal(0, noise_std, base.shape).astype(np.float32)
         img = (base + noise + 1.5) / 3.0
         return (np.clip(img, 0, 1) * 255).astype(np.uint8), labels
 
     tri, trl = make(n_train, 1)
     tei, tel = make(n_test, 2)
+    if label_noise > 0:
+        r = np.random.default_rng(seed + 3)
+        flip = r.random(n_train) < label_noise
+        trl = np.where(flip, (trl + r.integers(1, num_classes, n_train))
+                       % num_classes, trl)
     return DatasetSpec("synthetic", tri, trl, tei, tel, num_classes)
+
+
+def synth_kwargs_from_opt(opt) -> dict:
+    """Collect the synthetic-generator kwargs from a parsed CLI namespace
+    (geometry + the difficulty knobs); shared by every driver so the hard
+    generator is reachable from all of them."""
+    kw = dict(n_train=getattr(opt, "synth_n_train", 4096),
+              n_test=getattr(opt, "synth_n_test", 1024))
+    sep = getattr(opt, "synth_sep", None)
+    if sep is not None:
+        kw.update(class_sep=sep,
+                  modes_per_class=getattr(opt, "synth_modes", 3),
+                  noise_std=getattr(opt, "synth_noise", 0.35))
+    ln = getattr(opt, "synth_label_noise", 0.0)
+    if ln:
+        kw["label_noise"] = ln
+    return kw
+
+
+_SYNTH_KEYMAP = {
+    "synth_sep": ("class_sep", float), "class_sep": ("class_sep", float),
+    "synth_modes": ("modes_per_class", int),
+    "modes_per_class": ("modes_per_class", int),
+    "synth_label_noise": ("label_noise", float),
+    "label_noise": ("label_noise", float),
+    "synth_noise": ("noise_std", float), "noise_std": ("noise_std", float),
+    "synth_n_train": ("n_train", int), "n_train": ("n_train", int),
+    "synth_n_test": ("n_test", int), "n_test": ("n_test", int),
+    "seed": ("seed", int), "latent_dim": ("latent_dim", int),
+}
+
+
+def parse_synth_overrides(tokens) -> dict:
+    """Parse ``key=value`` tokens (positional-CLI drivers) into
+    :func:`synthetic_dataset` kwargs; unknown keys raise."""
+    kw = {}
+    for tok in tokens:
+        key, _, val = tok.partition("=")
+        if key not in _SYNTH_KEYMAP:
+            raise ValueError(f"unknown synthetic override {key!r} "
+                             f"(known: {sorted(_SYNTH_KEYMAP)})")
+        name, cast = _SYNTH_KEYMAP[key]
+        kw[name] = cast(val)
+    return kw
 
 
 DATASETS = {

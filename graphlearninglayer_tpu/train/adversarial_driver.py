@@ -30,6 +30,7 @@ import optax
 
 from ..attack.pgd import make_gl_pgd_perturb_p, make_mlp_pgd_perturb_p
 from ..data import Transform, load_dataset, select_base_indices
+from ..data.datasets import parse_synth_overrides
 from ..models import (PreActResNetFeat, SmallCNN, SmallCNNGL, l2_normalize,
                       resnet18)
 from ..ops import laplace_learning
@@ -137,12 +138,13 @@ def _make_tx(cfg: AdvConfig, target: str, schedule):
 
 def run(model_type: str, rob_or_nat: str, dataset: str,
         epochs: int | None = None, save_dir: str = "models",
-        seed: int = 1) -> dict:
+        seed: int = 1, synth: dict | None = None) -> dict:
     cfg = DATASET_CONFIGS[dataset]
     if epochs is not None:
         cfg = AdvConfig(**{**cfg.__dict__, "epochs": epochs})
     spec = load_dataset("fashion_mnist" if dataset == "fashionmnist"
-                        else dataset, allow_synthetic_fallback=True)
+                        else dataset, allow_synthetic_fallback=True,
+                        **(synth or {}))
     tf_name = ("fashion_mnist" if dataset == "fashionmnist" else
                dataset if dataset in ("mnist", "cifar10") else "synthetic")
     tf = Transform(tf_name, "eval")
@@ -330,10 +332,14 @@ def run(model_type: str, rob_or_nat: str, dataset: str,
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    # trailing key=value tokens are synthetic-generator overrides
+    # (e.g. synth_sep=1.0 n_train=20000) for hardened-proxy runs
+    synth = parse_synth_overrides([a for a in argv if "=" in a])
+    argv = [a for a in argv if "=" not in a]
     if len(argv) < 3:
         raise SystemExit("usage: adversarial_driver {gl|mlp|both} "
                          "{natural|robust} {mnist|fashionmnist|cifar10|synthetic}"
-                         " [epochs]")
+                         " [epochs] [synth_sep=F n_train=N ...]")
     model_type, rob_or_nat, dataset = argv[0], argv[1], argv[2]
     if model_type not in ("gl", "mlp", "both"):
         raise ValueError("argument must be gl, mlp, or both")
@@ -341,7 +347,7 @@ def main(argv=None):
         raise ValueError("argument must be natural or robust")
     epochs = int(argv[3]) if len(argv) > 3 else None
     print("Classifier:", model_type)
-    return run(model_type, rob_or_nat, dataset, epochs=epochs)
+    return run(model_type, rob_or_nat, dataset, epochs=epochs, synth=synth)
 
 
 if __name__ == "__main__":

@@ -32,9 +32,9 @@ __all__ = ["run_comparison", "main"]
 
 def run_comparison(opt) -> dict:
     rng_np = np.random.default_rng(opt.seed)
+    from ..data.datasets import synth_kwargs_from_opt
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
-                    n_train=getattr(opt, "synth_n_train", 4096),
-                    n_test=getattr(opt, "synth_n_test", 1024))
+                    **synth_kwargs_from_opt(opt))
     num_classes = spec.num_classes
     tf = Transform(spec.name if spec.name in
                    ("mnist", "fashion_mnist", "cifar10", "cifar100",

@@ -119,9 +119,9 @@ def run_training(opt) -> dict:
     primary = jax.process_index() == 0
 
     rng_np = np.random.default_rng(opt.seed)
+    from ..data.datasets import synth_kwargs_from_opt
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
-                        n_train=getattr(opt, "synth_n_train", 4096),
-                        n_test=getattr(opt, "synth_n_test", 1024))
+                        **synth_kwargs_from_opt(opt))
     num_classes = spec.num_classes
 
     sup_tf = Transform(spec.name if spec.name in

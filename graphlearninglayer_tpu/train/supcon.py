@@ -34,9 +34,9 @@ __all__ = ["run_supcon", "main"]
 
 
 def run_supcon(opt, simclr: bool = False) -> dict:
+    from ..data.datasets import synth_kwargs_from_opt
     spec = load_dataset(opt.dataset, allow_synthetic_fallback=True,
-                    n_train=getattr(opt, "synth_n_train", 4096),
-                    n_test=getattr(opt, "synth_n_test", 1024))
+                    **synth_kwargs_from_opt(opt))
     tf = Transform(spec.name if spec.name in
                    ("mnist", "fashion_mnist", "cifar10", "cifar100",
                     "miniimagenet", "synthetic") else "synthetic",
