@@ -101,8 +101,13 @@ def restore_checkpoint(path: str, state, epoch: int | None = None):
 
     Missing subtrees in the checkpoint keep the values already in ``state``
     (mirrors the reference's `.module`-strip + strict=False fallback,
-    utils.py:523-540).
+    utils.py:523-540).  A ``.pth``/``.pt`` FILE is a reference torch
+    checkpoint and is converted in place (utils/torch_import.py) — so
+    ``--cp_load_path resnet18_SimCLR_mlp.pth`` works here verbatim.
     """
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        from .torch_import import restore_torch_checkpoint
+        return restore_torch_checkpoint(path, state)
     with _ckpt(path) as mgr:
         step = epoch if epoch is not None else mgr.latest_step()
         if step is None:
