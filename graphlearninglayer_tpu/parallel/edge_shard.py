@@ -674,6 +674,9 @@ def edge_sharded_transductive_laplace(mesh: Mesh, x, y, knn_num: int = 50,
         cache.n, cache.k_lab = n_real, k_lab
         cache.shard_perm, cache.shard_nd = perm, nd
         cache.prev_pred = jnp.asarray(pred)
+    if return_stats and return_info:   # (pred, plan stats, cg_iters, err)
+        return (jnp.asarray(pred), plan.stats, int(np.asarray(iters)),
+                float(np.asarray(err)))
     if return_stats:
         return jnp.asarray(pred), plan.stats
     if return_info:  # (pred, cg_iters, final_err) — observability parity
