@@ -46,6 +46,7 @@ from .knn import knn, knn_tiled
 __all__ = [
     "BatchGraph",
     "build_graph",
+    "graph_from_knn",
     "edge_weights",
     "sym_rowsum",
     "sym_spmm",
@@ -103,11 +104,22 @@ def build_graph(x: jax.Array, k: int, epsilon="auto", *, tiled: bool = False,
     ``epsilon``: the string ``'auto'`` for self-tuning bandwidth, else a
     positive float (static).
     """
-    n = x.shape[0]
     if tiled:
         nbr, dist2 = knn_tiled(x, k, block)
     else:
         nbr, dist2 = knn(x, k)
+    return graph_from_knn(nbr, dist2, epsilon, dtype=x.dtype)
+
+
+def graph_from_knn(nbr: jax.Array, dist2: jax.Array, epsilon="auto", *,
+                   dtype=None) -> BatchGraph:
+    """The post-KNN half of :func:`build_graph`: symmetrization coefs +
+    auto-epsilon from precomputed (nbr, dist2) lists — lets an alternate
+    exact KNN (e.g. the certificate-banded cross-eval build,
+    ops/knn_banded.py) feed the identical graph semantics."""
+    n = nbr.shape[0]
+    if dtype is None:
+        dtype = dist2.dtype
 
     # Reciprocal-edge detection: edge (i, j) is reciprocal iff i appears in
     # j's neighbor list.  nbr[nbr] has shape (n, k, k); compare against i.
@@ -117,7 +129,7 @@ def build_graph(x: jax.Array, k: int, epsilon="auto", *, tiled: bool = False,
     # Mask: drop self edges and exact-zero distances (reference sparse.find
     # drops explicit zeros, GLL.py:198 — coincident points carry no edge).
     valid = (nbr != rows[:, None]) & (dist2 > 0.0)
-    coef = jnp.where(valid, jnp.where(recip, 0.5, 1.0), 0.0).astype(x.dtype)
+    coef = jnp.where(valid, jnp.where(recip, 0.5, 1.0), 0.0).astype(dtype)
 
     if isinstance(epsilon, str):
         if epsilon != "auto":
@@ -131,7 +143,7 @@ def build_graph(x: jax.Array, k: int, epsilon="auto", *, tiled: bool = False,
         # non-degenerate graph (eps > 1e-6 everywhere) behavior is identical.
         eps = jnp.maximum(jnp.sqrt(dist2[:, -1]), 1e-6)
     else:
-        eps = jnp.full((n,), float(epsilon), dtype=x.dtype)
+        eps = jnp.full((n,), float(epsilon), dtype=dtype)
 
     return BatchGraph(nbr=nbr, dist2=dist2, coef=coef, eps=eps)
 

@@ -44,8 +44,9 @@ import numpy as np
 from .bsr import (bsr_plan, bsr_plan_from_perm, bsr_spmm, bsr_stats,
                   build_bsr_mat)
 from .graph import (build_graph, build_sym_ell, edge_weights, ell_cap,
-                    ell_rowsum, ell_spmm, max_in_degree, overflow_count,
-                    sym_rowsum, sym_spmm)
+                    ell_rowsum, ell_spmm, graph_from_knn, max_in_degree,
+                    overflow_count, sym_rowsum, sym_spmm)
+from .knn_banded import banded_knn
 from .solve import stable_conjgrad
 
 __all__ = ["one_hot_encode", "transductive_laplace", "EvalGraphCache"]
@@ -113,6 +114,41 @@ def one_hot_encode(labels: jax.Array, n_classes: int) -> jax.Array:
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _build(x, knn_num: int, epsilon, knn_block: int):
     return build_graph(x, knn_num, epsilon, tiled=True, block=knn_block)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _graph_from_knn(nbr, dist2, epsilon):
+    return graph_from_knn(nbr, dist2, epsilon)
+
+
+def _build_with_cache(x, knn_num: int, epsilon, knn_block: int,
+                      cache: "EvalGraphCache | None", n: int, k_lab: int):
+    """KNN graph build with cross-eval permutation reuse (VERDICT r4 item
+    6).  When the cache holds last eval's cluster permutation and the
+    graph is large enough for selection to dominate (the full build's
+    ``lax.top_k`` over n-wide rows is ~the whole KNN cost at 60k —
+    ops/knn.py), run the certificate-banded exact build steered by that
+    permutation: identical (nbr, dist2) lists, ~band/n of the selection
+    work, per-row ball-bound certification with bucketed full-panel
+    fallback.  Anything short of a certified-exact result falls back to
+    the plain tiled build.  Disable with GLL_BANDED_KNN=0."""
+    min_n = int(os.environ.get("GLL_BANDED_MIN_N", 16384))
+    use_banded = (os.environ.get("GLL_BANDED_KNN", "1") != "0"
+                  and cache is not None and cache.matches(n, k_lab)
+                  and cache.perm is not None and n >= min_n)
+    if use_banded:
+        perm = np.asarray(jax.device_get(cache.perm)).astype(np.int64)
+        if len(perm) == n:
+            nbr, dist2, frac = banded_knn(x, knn_num, perm)
+            if nbr is not None:
+                if os.environ.get("GLL_EVAL_DEBUG"):
+                    print(f"  [banded knn: fallback_frac={frac:.3f}]",
+                          flush=True)
+                return _graph_from_knn(nbr, dist2, epsilon)
+            if os.environ.get("GLL_EVAL_DEBUG"):
+                print(f"  [banded knn: perm too stale "
+                      f"(frac={frac:.3f}), full build]", flush=True)
+    return _build(x, knn_num, epsilon, knn_block)
 
 
 def _finish(result, tol: float = 1e-10, return_info: bool = False):
@@ -367,7 +403,7 @@ def transductive_laplace(x, y, knn_num: int = 50, epsilon="auto",
             cache.prev_pred = res[0]
         return _finish(res, return_info=return_info)
 
-    g = _build(x, knn_num, epsilon, knn_block)
+    g = _build_with_cache(x, knn_num, epsilon, knn_block, cache, n, k_lab)
     if mode == "bsr":
         # The BSR tile budget is data-dependent (trained features cluster
         # differently run to run); if the resulting program exceeds device
