@@ -7,7 +7,10 @@
 #   score1  — score-mode refresh every epoch (default config)
 #   random1 — random refresh every epoch
 #   score5  — score-mode refresh every 5 epochs
-# Geometry: 10k/2k hard synthetic CIFAR; shared 20-epoch MLP pretrain;
+# Geometry: 10k/2k hard synthetic CIFAR; shared 100-epoch MLP pretrain
+# (at batch 1250 a 10k epoch is only 8 steps; the round-4 20-epoch
+# pretrain = 160 steps collapses on the hard generator — loss pinned at
+# ln 10 — while 800 steps learns);
 # three identical 60-epoch GL runs differing ONLY in refresh policy.
 # Usage: SEP=1.1 run_ab.sh    Serialized: ONE TPU process at a time.
 set -e
@@ -21,7 +24,7 @@ if [ ! -d pretrain ]; then
   mkdir -p pretrain; cd pretrain
   PYTHONPATH="$PYTHONPATH:/root/repo" timeout 4000 \
     python -m graphlearninglayer_tpu.train.fullysup $COMMON \
-    --sup_train_type mlp --epochs 20 --plot_freq_ss 100 2>&1 | tail -2
+    --sup_train_type mlp --epochs 100 --plot_freq_ss 100 2>&1 | tail -2
   cd ..
   echo "=== pretrain done ==="
 fi
