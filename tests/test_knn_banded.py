@@ -127,6 +127,7 @@ def test_transductive_banded_cache_path(monkeypatch):
     from graphlearninglayer_tpu.ops.transductive import (
         EvalGraphCache, transductive_laplace)
 
+    monkeypatch.setenv("GLL_BANDED_KNN", "1")      # opt-in path
     monkeypatch.setenv("GLL_BANDED_MIN_N", "1000")
     x, lab = clustered(6000, d=32, l=10, seed=1)
     x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
