@@ -20,8 +20,9 @@ if [ ! -d simclr_$SEP ]; then
   mkdir -p simclr_$SEP; cd simclr_$SEP
   PYTHONPATH="$PYTHONPATH:/root/repo" timeout 5000 \
     python -m graphlearninglayer_tpu.train.supcon $COMMON \
-    --sup_method SimCLR --epochs 30 --temp 0.5 \
-    --learning_rate 0.5 2>&1 | tail -3
+    --epochs 30 --temp 0.5 --learning_rate 0.5 2>&1 | tail -3
+  # (default --sup_method SupCE => SimCLR/unsupervised mode in this
+  # driver; 'SupCon' is the labeled contrastive variant)
   cd ..
   echo "=== stage S (simclr pretrain) done ==="
 fi
