@@ -57,7 +57,7 @@ def _save_example_grid(clean, adv, path):
                 ax = axes[row, i] if n > 1 else axes[row]
                 im = img.squeeze()
                 ax.imshow(im if im.ndim == 2 else
-                          (im - im.min()) / (im.ptp() + 1e-9))
+                          (im - im.min()) / (np.ptp(im) + 1e-9))
                 ax.axis("off")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         plt.savefig(path, dpi=100)
