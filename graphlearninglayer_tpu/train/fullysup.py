@@ -254,7 +254,19 @@ def run_training(opt) -> dict:
                     return jax.device_put(a, _repl_shd)
                 return jax.device_put(np.asarray(a), _repl_shd)
 
-            conv_key = globalize_state = lambda a: a
+            conv_key = lambda a: a
+
+            def globalize_state(st):
+                # a fresh create_train_state is UNCOMMITTED and the jitted
+                # step's in_shardings would replicate it implicitly — but a
+                # restored checkpoint (orbax) comes back COMMITTED to one
+                # device, which is a hard error against mesh-sharded batch
+                # inputs; re-place every array leaf with the replicated
+                # mesh sharding (no-op cost for already-replicated leaves)
+                return jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, _repl_shd)
+                    if isinstance(a, (jax.Array, np.ndarray)) else a, st)
+
             # producer-thread puts land pre-sharded (batch-sharded train
             # batches, replicated base batches): the step's in_shardings
             # then match and neither a reshard copy nor a host round trip

@@ -151,3 +151,36 @@ def test_pre_pretrain_eval_when_sup_epochs(tiny_opt, monkeypatch):
     assert len(rec_plain["test_acc"]) == 2
     assert len(rec_pre["test_acc"]) == 3
     assert all(np.isfinite(v) for v in rec_pre["test_acc"])
+
+
+def test_resume_with_start_epochs(tiny_opt, capsys):
+    """The verified resume workflow (reference cli.py:36-37,45-46):
+    --cp_load_path warms the weights; --start_epochs N restarts the epoch
+    loop at N+1.  A 1-epoch run checkpointed then resumed for epoch 2
+    must run exactly one more epoch — and --cp_load_path WITHOUT
+    --start_epochs must warn and restart at epoch 1."""
+    import os
+
+    opt1 = parse_option(tiny_opt[:])
+    opt1.epochs = 1
+    fullysup.run_training(opt1)
+    ckpt = os.path.join(opt1.save_folder, "last")
+    assert os.path.isdir(ckpt)
+
+    # resume: --epochs counts ADDITIONAL epochs (cli.py:196 adds
+    # start_epochs — reference FullySup.py:268 semantics); epochs=1 with
+    # start_epochs=1 -> exactly ONE new epoch (the loop runs 2..2)
+    opt2 = parse_option(tiny_opt + ["--cp_load_path", ckpt,
+                                    "--start_epochs", "1",
+                                    "--epochs", "1"])
+    rec2 = fullysup.run_training(opt2)
+    assert len(rec2["loss"]) == 1, rec2["loss"]
+    assert all(np.isfinite(v) for v in rec2["loss"])
+    out = capsys.readouterr().out
+    assert "weights are warmed" not in out
+
+    # warm-start-only (the checkpoint recipe): warns, restarts at epoch 1
+    opt3 = parse_option(tiny_opt + ["--cp_load_path", ckpt])
+    rec3 = fullysup.run_training(opt3)
+    assert len(rec3["loss"]) == 2
+    assert "weights are warmed" in capsys.readouterr().out
