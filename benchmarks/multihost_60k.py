@@ -126,7 +126,8 @@ def child(pid, nproc, coord, datadir):
 def parent(n, k):
     import numpy as np
 
-    outdir = os.path.join(REPO, "benchmarks", "multihost_60k")
+    outdir = os.environ.get(
+        "GLL_MH60K_OUT", os.path.join(REPO, "benchmarks", "multihost_60k"))
     os.makedirs(outdir, exist_ok=True)
 
     import jax
